@@ -1,0 +1,194 @@
+"""Typed configuration for the engine.
+
+The reference scatters its knobs across three tiers (compile-time constants in
+structures.cuh:21-28 and main_progressive_octree.cpp:35-38, the ImGui-bound `settings`
+struct at main_progressive_octree.cpp:123-139, and the per-frame `Uniforms` ABI at
+HostDeviceInterface.h:10-44). Here all three are promoted to typed dataclasses with the
+same knob names.
+
+  - EngineConfig : capacities and step sizing (static; baked into jit traces)
+  - Settings     : interactive render/LOD knobs (mirrors reference `settings`)
+  - Uniforms     : per-frame values passed into the jitted step
+  - Stats        : device-computed counters pytree (mirrors HostDeviceInterface.h:46-71)
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import constants as C
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static capacities. Changing any of these re-traces the jitted step.
+
+    The reference sizes these buffers at startup (main_progressive_octree.cpp:560-586);
+    XLA needs them static, so they live here with watermark counters in state.
+    """
+
+    # Octree capacities
+    node_capacity: int = 1 << 20          # node pool (reference: 200k nodes, :564)
+    point_capacity: int = 64 << 20        # point pool entries
+    voxel_capacity: int = 64 << 20        # voxel store entries (incl. lazy duplicates)
+    segment_capacity: int = 1 << 22       # point-segment directory entries
+
+    # Per-step sizing
+    step_points: int = 2 << 20            # points ingested per jitted step (batch budget;
+                                          # analogue of the reference's "<=20 batches x 1M
+                                          # per 10ms frame", progressive_octree_voxels.cu:883)
+    spill_capacity: int = 4 << 20         # spilled-point working buffer per step
+                                          # (reference: 10M scratch, voxels.cu:846)
+    max_splits_per_round: int = 1024      # split nodes processed per split-loop round
+                                          # (reference: 100k spillingNodes scratch, :843)
+    seg_select_cap: int = 32768           # segments subdivided per split-loop round
+    split_rounds: int = 24                # max split-loop rounds per step (reference caps
+                                          # expand() at 20 iterations, voxels.cu:394)
+
+    # Octree parameters (reference structures.cuh:21-26)
+    max_points_per_node: int = C.MAX_POINTS_PER_NODE
+    max_depth: int = C.MAX_DEPTH
+
+    # Render capacities
+    max_render_points: int = 8 << 20      # visible point samples per frame (padded)
+    max_render_voxels: int = 8 << 20      # visible voxel samples per frame (padded)
+    max_render_lines: int = 1 << 16       # line-list capacity (reference: 1M verts, render.cu:1120)
+    line_steps: int = 64                  # samples per rasterized line segment
+
+    # Per-step voxel-candidate buffer, as a multiple of step_points. Worst case is one
+    # candidate per point per ancestor level (max_depth+1); after in-batch first-in-cell
+    # dedup a small factor suffices for real data. Overflow drops tail candidates and
+    # raises mem_capacity_reached.
+    candidate_factor: int = 6
+
+    # Voxel-store lazy-dedup compaction threshold: compact when the store holds more than
+    # (1 + slack) x the entries present after the previous compaction.
+    voxel_compact_slack: float = 0.5
+
+    # Point-pool defragmentation threshold: defragment when dead (respilled) entries
+    # exceed this fraction of the pool watermark.
+    defrag_waste_fraction: float = 0.25
+
+    @property
+    def working_capacity(self) -> int:
+        return self.step_points + self.spill_capacity
+
+
+@dataclasses.dataclass
+class Settings:
+    """Interactive knobs (reference: main_progressive_octree.cpp:123-139)."""
+
+    use_high_quality_shading: bool = True
+    show_bounding_box: bool = False
+    do_update_visibility: bool = True
+    show_points: bool = True
+    color_by_node: bool = False
+    color_by_lod: bool = False
+    color_white: bool = False
+    auto_focus_on_load: bool = True
+    benchmark_rendering: bool = False
+    lod: float = 0.2
+    min_node_size: float = 64.0
+    point_size: int = 1
+    fovy: float = 60.0
+    enable_edl: bool = True
+    # The reference GUI default is 0.8 (main...cpp:138) but the kernel hard-codes 0.4
+    # (render.cu:1290); we honour the uniform and default to the kernel's effective value.
+    edl_strength: float = 0.4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Uniforms:
+    """Per-frame values handed to the jitted step (reference: HostDeviceInterface.h:10-44).
+
+    Matrices are row-major [4,4] float32 acting on column vectors, exactly like the
+    reference's `uniforms.transform * float4` (getUniforms transposes GLM's column-major
+    storage for the same effect, main_progressive_octree.cpp:283-297).
+    """
+
+    width: jax.Array                      # f32 scalar
+    height: jax.Array                     # f32 scalar
+    transform: jax.Array                  # [4,4] f32: proj @ view @ world
+    transform_update_bound: jax.Array     # frozen copy while !doUpdateVisibility
+    # render flags / knobs as jnp scalars so settings changes don't retrace
+    show_bounding_box: jax.Array          # bool
+    show_points: jax.Array                # bool
+    color_by_node: jax.Array              # bool
+    color_by_lod: jax.Array               # bool
+    color_white: jax.Array                # bool
+    use_high_quality_shading: jax.Array   # bool
+    lod: jax.Array                        # f32
+    min_node_size: jax.Array              # f32
+    point_size: jax.Array                 # i32
+    enable_edl: jax.Array                 # bool
+    edl_strength: jax.Array               # f32
+
+    @staticmethod
+    def make(width: int, height: int, transform, transform_update_bound=None,
+             settings: Settings | None = None) -> "Uniforms":
+        s = settings or Settings()
+        transform = jnp.asarray(transform, jnp.float32)
+        if transform_update_bound is None:
+            transform_update_bound = transform
+        f32 = partial(jnp.asarray, dtype=jnp.float32)
+        b = partial(jnp.asarray, dtype=jnp.bool_)
+        return Uniforms(
+            width=f32(width), height=f32(height),
+            transform=transform,
+            transform_update_bound=jnp.asarray(transform_update_bound, jnp.float32),
+            show_bounding_box=b(s.show_bounding_box),
+            show_points=b(s.show_points),
+            color_by_node=b(s.color_by_node),
+            color_by_lod=b(s.color_by_lod),
+            color_white=b(s.color_white),
+            use_high_quality_shading=b(s.use_high_quality_shading),
+            lod=f32(s.lod), min_node_size=f32(s.min_node_size),
+            point_size=jnp.asarray(s.point_size, jnp.int32),
+            enable_edl=b(s.enable_edl), edl_strength=f32(s.edl_strength),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Stats:
+    """Device-side counters pytree (reference: HostDeviceInterface.h:46-71).
+
+    Returned from the jitted step and polled host-side, replacing the reference's
+    pinned-memory async Stats download (main_progressive_octree.cpp:1201-1204).
+    """
+
+    num_nodes: jax.Array
+    num_inner: jax.Array
+    num_leaves: jax.Array
+    num_nonempty_leaves: jax.Array
+    num_points: jax.Array
+    num_voxels: jax.Array                 # logical voxel count (sum over nodes)
+    num_voxels_stored: jax.Array          # physical store entries incl. lazy duplicates
+    num_visible_nodes: jax.Array
+    num_visible_inner: jax.Array
+    num_visible_leaves: jax.Array
+    num_visible_points: jax.Array
+    num_visible_voxels: jax.Array
+    num_points_processed: jax.Array
+    num_points_dropped: jax.Array         # overflow guard drops (capacity semantics)
+    pool_used: jax.Array
+    pool_waste: jax.Array
+    num_segments: jax.Array
+    mem_capacity_reached: jax.Array       # bool (reference: voxels.cu:896-912)
+
+    @staticmethod
+    def zeros() -> "Stats":
+        z = jnp.zeros((), jnp.int32)
+        return Stats(
+            num_nodes=z + 1, num_inner=z, num_leaves=z + 1, num_nonempty_leaves=z,
+            num_points=z, num_voxels=z, num_voxels_stored=z,
+            num_visible_nodes=z, num_visible_inner=z, num_visible_leaves=z,
+            num_visible_points=z, num_visible_voxels=z,
+            num_points_processed=z, num_points_dropped=z,
+            pool_used=z, pool_waste=z, num_segments=z,
+            mem_capacity_reached=jnp.zeros((), jnp.bool_),
+        )

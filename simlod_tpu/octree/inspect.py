@@ -1,0 +1,56 @@
+"""Host-side octree inspection: pull a dense OctreeState back into Python dicts.
+
+Used by tests (cross-checking against reference_impl.RefOctree) and debugging tools.
+Slow by design; never on the hot path.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .structures import OctreeState
+
+
+def snapshot(state: OctreeState) -> dict:
+    """Device -> host copy of all fields as numpy arrays."""
+    out = {}
+    for name in state.__dataclass_fields__:
+        out[name] = np.asarray(getattr(state, name))
+    return out
+
+
+def node_table(state: OctreeState) -> dict:
+    """dict (level, x, y, z) -> node info dict, mirroring RefOctree.node_map()."""
+    s = snapshot(state)
+    n = int(s["num_nodes"])
+    table = {}
+    # per-node stored points via live segments
+    seg_n = s["seg_node"][: int(s["num_segments"])]
+    seg_o = s["seg_off"][: int(s["num_segments"])]
+    seg_c = s["seg_cnt"][: int(s["num_segments"])]
+    pts_by_node: dict[int, list] = {}
+    for sn, so, sc in zip(seg_n, seg_o, seg_c):
+        if sc > 0 and sn >= 0:
+            pts_by_node.setdefault(int(sn), []).append((int(so), int(sc)))
+    # per-node voxels from the store (may contain duplicates pre-compaction)
+    vox_by_node: dict[int, dict] = {}
+    for i in range(int(s["vox_used"])):
+        vox_by_node.setdefault(int(s["vox_node"][i]), {}).setdefault(
+            int(s["vox_cell"][i]), int(s["vox_rgba"][i]))
+    for i in range(n):
+        spans = pts_by_node.get(i, [])
+        idx = np.concatenate([np.arange(o, o + c) for (o, c) in spans]) \
+            if spans else np.zeros((0,), np.int64)
+        table[(int(s["level"][i]), int(s["nx"][i]), int(s["ny"][i]),
+               int(s["nz"][i]))] = dict(
+            id=i,
+            is_leaf=bool(s["child_base"][i] < 0),
+            child_base=int(s["child_base"][i]),
+            parent=int(s["parent"][i]),
+            counter=int(s["counter"][i]),
+            num_points=int(s["num_points"][i]),
+            num_voxels=int(s["num_voxels"][i]),
+            points_xyz=s["pt_xyz"][idx],
+            points_rgba=s["pt_rgba"][idx],
+            voxels=vox_by_node.get(i, {}),
+        )
+    return table

@@ -1,0 +1,159 @@
+"""Octree device data model: dense capacity-padded arrays with watermark counters.
+
+The reference's device model is pointer-based: a linked `Node` tree with 16 KB chunk
+linked lists and a device-side bump allocator (structures.cuh:62-102, utils.h.cu:180-227).
+None of that is expressible or fast in XLA. The TPU-native equivalent used here:
+
+  - Node pool: SoA int32 arrays indexed by node id. Children are always allocated as a
+    contiguous block of 8 (the reference does the same: `atomicAdd(&numNodes, 8)`,
+    progressive_octree_voxels.cu:317), so one `child_base` index replaces 8 pointers and
+    descent is a single gather: child = child_base[n] + octant; child_base < 0 == leaf.
+  - Ancestor table: anc[n, l] = ancestor of node n at level l (n itself for l >= level).
+    Immutable once a node is created; lets the builder resolve "which inner node does
+    this point sample a voxel in at level l" with one gather instead of a pointer walk.
+  - Point pool: flat SoA (xyz, rgba) appended in bulk, addressed by *segments*
+    (node, offset, count) — each segment is one step's Morton-sorted contribution to one
+    leaf. This replaces chunk linked lists; splits mark a node's segments dead and
+    respill its points, with periodic defragmentation reclaiming dead slots (the
+    reference recycles chunks through a queue instead, voxels.cu:346-357).
+  - Voxel store: flat SoA (node, cell, rgba). Kept sorted by (node, cell) in the
+    compacted prefix [0, vox_compacted) with a per-node CSR directory (vox_off), plus an
+    append-only tail of new samples that may contain duplicates; periodic compaction
+    sorts + dedups (first arrival wins, matching the reference's first-come atomicOr
+    semantics, progressive_octree_voxels.cu:93-119). This replaces the 256 KB/node
+    occupancy bitmaps, which do not scale on HBM.
+
+All capacities are static (EngineConfig); "allocation" is a watermark increment, exactly
+the role of the reference's AllocatorGlobal (utils.h.cu:180-227) but data-race-free.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..config import EngineConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class OctreeState:
+    """The complete device-resident engine state (one pytree)."""
+
+    # --- node pool (SoA, [node_capacity]) ---
+    child_base: jax.Array      # i32; id of first of 8 children, or -1 if leaf
+    parent: jax.Array          # i32; -1 for root
+    level: jax.Array           # i32
+    nx: jax.Array              # i32 node coords at its level (reference Node::X/Y/Z)
+    ny: jax.Array
+    nz: jax.Array
+    counter: jax.Array         # i32; points ever routed while leaf (reference Node::counter)
+    num_points: jax.Array      # i32; points stored (leaves)
+    num_voxels: jax.Array      # i32; voxels attributed (approximate until compaction)
+    node_seg_count: jax.Array  # i32; live segments owned by the node (split budgeting)
+    anc: jax.Array             # i32 [node_capacity, MAX_DEPTH+1] ancestor table
+    num_nodes: jax.Array       # i32 scalar watermark
+
+    # --- point pool ---
+    pt_xyz: jax.Array          # f32 [point_capacity + pad, 3]
+    pt_rgba: jax.Array         # u32 [point_capacity + pad]
+    pool_used: jax.Array       # i32 scalar watermark
+    pool_waste: jax.Array      # i32 scalar: dead (respilled) entries awaiting defrag
+
+    # --- segment directory ---
+    seg_node: jax.Array        # i32 [segment_capacity]; -1 = never used
+    seg_off: jax.Array         # i32
+    seg_cnt: jax.Array         # i32; 0 = dead
+    num_segments: jax.Array    # i32 scalar watermark
+
+    # --- voxel store ---
+    vox_node: jax.Array        # i32 [voxel_capacity + pad]
+    vox_cell: jax.Array        # i32 packed 21-bit cell
+    vox_rgba: jax.Array        # u32
+    vox_used: jax.Array        # i32 scalar watermark (compacted + tail)
+    vox_compacted: jax.Array   # i32 scalar: rows [0, vox_compacted) are sorted+deduped
+    vox_off: jax.Array         # i32 [node_capacity + 1] CSR into the compacted prefix
+
+    # --- octree domain (fixed at reset; reference Uniforms boxMin/boxMax) ---
+    box_min: jax.Array         # f32 [3]
+    cube_size: jax.Array       # f32 scalar (max extent; the octree cube is cubical)
+
+    # --- bookkeeping ---
+    num_points_processed: jax.Array  # i32
+    num_points_dropped: jax.Array    # i32
+    mem_capacity_reached: jax.Array  # bool
+
+
+def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
+    """Create the initial single-root state (the reference's reset.cu kernel).
+
+    `box_min`/`box_max` are the dataset bounds; the octree domain is the cube with
+    edge max(extent) anchored at box_min (reference render.cu:1137-1140 cubeSize/cubeMin).
+    """
+    n_cap = cfg.node_capacity
+    # Padded pools so bulk appends can write a full static window past the watermark.
+    p_cap = cfg.point_capacity + cfg.working_capacity
+    v_cap = cfg.voxel_capacity + _cand_capacity(cfg)
+
+    box_min = jnp.asarray(box_min, jnp.float32)
+    box_max = jnp.asarray(box_max, jnp.float32)
+    cube_size = jnp.max(box_max - box_min).astype(jnp.float32)
+
+    i32 = jnp.int32
+    zeros_n = lambda: jnp.zeros((n_cap,), i32)
+    neg_n = lambda: jnp.full((n_cap,), -1, i32)
+
+    anc = jnp.zeros((n_cap, C.MAX_DEPTH + 1), i32)
+
+    return OctreeState(
+        child_base=neg_n(), parent=neg_n(), level=zeros_n(),
+        nx=zeros_n(), ny=zeros_n(), nz=zeros_n(),
+        counter=zeros_n(), num_points=zeros_n(), num_voxels=zeros_n(),
+        node_seg_count=zeros_n(),
+        anc=anc,
+        num_nodes=jnp.asarray(1, i32),
+        pt_xyz=jnp.zeros((p_cap, 3), jnp.float32),
+        pt_rgba=jnp.zeros((p_cap,), jnp.uint32),
+        pool_used=jnp.asarray(0, i32), pool_waste=jnp.asarray(0, i32),
+        seg_node=jnp.full((cfg.segment_capacity,), -1, i32),
+        seg_off=jnp.zeros((cfg.segment_capacity,), i32),
+        seg_cnt=jnp.zeros((cfg.segment_capacity,), i32),
+        num_segments=jnp.asarray(0, i32),
+        vox_node=jnp.zeros((v_cap,), i32),
+        vox_cell=jnp.zeros((v_cap,), i32),
+        vox_rgba=jnp.zeros((v_cap,), jnp.uint32),
+        vox_used=jnp.asarray(0, i32), vox_compacted=jnp.asarray(0, i32),
+        vox_off=jnp.zeros((n_cap + 1,), i32),
+        box_min=box_min, cube_size=cube_size,
+        num_points_processed=jnp.asarray(0, i32),
+        num_points_dropped=jnp.asarray(0, i32),
+        mem_capacity_reached=jnp.asarray(False, jnp.bool_),
+    )
+
+
+def _cand_capacity(cfg: EngineConfig) -> int:
+    """Voxel-store slack so a full step's candidate appends always have room
+    (appends are bounds-checked scatters; this pad just avoids premature overflow)."""
+    return cfg.candidate_factor * cfg.step_points + cfg.spill_capacity
+
+
+def node_min_size(state: OctreeState, ids=None):
+    """World-space node AABB min corner and edge length for node ids (defaults: all)."""
+    if ids is None:
+        nx, ny, nz, lvl = state.nx, state.ny, state.nz, state.level
+    else:
+        nx, ny, nz, lvl = state.nx[ids], state.ny[ids], state.nz[ids], state.level[ids]
+    size = state.cube_size / jnp.exp2(lvl.astype(jnp.float32))
+    mn = state.box_min[None, :] + size[:, None] * jnp.stack(
+        [nx, ny, nz], axis=-1).astype(jnp.float32)
+    return mn, size
+
+
+def is_leaf(state: OctreeState) -> jax.Array:
+    return state.child_base < 0
+
+
+def active_mask(state: OctreeState) -> jax.Array:
+    return jnp.arange(state.child_base.shape[0], dtype=jnp.int32) < state.num_nodes

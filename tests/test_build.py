@@ -1,0 +1,175 @@
+"""Octree builder tests: invariants + cross-check against the Python oracle."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from simlod_tpu import constants as C
+from simlod_tpu.config import EngineConfig
+from simlod_tpu.octree import build
+from simlod_tpu.octree.inspect import node_table
+from simlod_tpu.octree.structures import init_state
+from simlod_tpu.reference_impl import RefOctree
+
+CFG = EngineConfig(
+    node_capacity=1 << 12,
+    point_capacity=1 << 16,
+    voxel_capacity=1 << 18,
+    segment_capacity=1 << 14,
+    step_points=1 << 12,
+    spill_capacity=1 << 12,
+    max_splits_per_round=64,
+    seg_select_cap=1 << 10,
+    max_points_per_node=32,
+)
+
+
+def run_build(cfg, xyz, rgba, box_min, box_max, compact=True):
+    state = init_state(cfg, box_min, box_max)
+    B = cfg.step_points
+    for s in range(0, len(xyz), B):
+        chunk = xyz[s:s + B]
+        cols = rgba[s:s + B]
+        n = len(chunk)
+        pad = B - n
+        cx = np.concatenate([chunk, np.zeros((pad, 3), np.float32)])
+        cc = np.concatenate([cols, np.zeros((pad,), np.uint32)])
+        state = build.build_step(cfg, state, jnp.asarray(cx, jnp.float32),
+                                 jnp.asarray(cc, jnp.uint32), jnp.int32(n))
+    if compact:
+        state = build.compact_voxels(cfg, state)
+    return state
+
+
+def run_oracle(cfg, xyz, rgba, box_min, box_max):
+    ref = RefOctree(box_min, np.max(np.asarray(box_max) - np.asarray(box_min)),
+                    max_points=cfg.max_points_per_node, max_depth=cfg.max_depth)
+    B = cfg.step_points
+    for s in range(0, len(xyz), B):
+        ref.add_batch(xyz[s:s + B], rgba[s:s + B])
+    return ref
+
+
+def make_cloud(rng, n, kind="uniform"):
+    if kind == "uniform":
+        xyz = rng.random((n, 3), dtype=np.float32)
+    elif kind == "clusters":
+        k = 5
+        centers = rng.random((k, 3), dtype=np.float32)
+        which = rng.integers(0, k, n)
+        xyz = centers[which] + rng.normal(0, 0.01, (n, 3)).astype(np.float32)
+        xyz = np.clip(xyz, 0.0, 0.999)
+    elif kind == "surface":
+        xy = rng.random((n, 2), dtype=np.float32)
+        z = 0.4 + 0.1 * np.sin(6 * xy[:, 0]) * np.cos(5 * xy[:, 1])
+        xyz = np.stack([xy[:, 0], xy[:, 1], z.astype(np.float32)], -1)
+    rgba = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    return xyz, rgba
+
+
+def check_against_oracle(cfg, state, ref):
+    tpu = node_table(state)
+    oracle = ref.node_map()
+    assert set(tpu.keys()) == set(oracle.keys()), (
+        f"node sets differ: only-tpu={set(tpu) - set(oracle)}, "
+        f"only-oracle={set(oracle) - set(tpu)}")
+    for key, o in oracle.items():
+        t = tpu[key]
+        assert t["is_leaf"] == o.is_leaf, f"leaf-ness differs at {key}"
+        assert t["num_points"] == len(o.points), (
+            f"num_points differs at {key}: {t['num_points']} vs {len(o.points)}")
+        if o.is_leaf:
+            assert t["counter"] == o.counter, (
+                f"counter differs at {key}: {t['counter']} vs {o.counter}")
+        # stored point multisets (by quantized coordinate)
+        tq = sorted(map(tuple, np.asarray(
+            RefOctree(ref.box_min, ref.cube_size).quantize(t["points_xyz"]).reshape(-1, 3)
+            if len(t["points_xyz"]) else np.zeros((0, 3), np.int64))))
+        oq = sorted(tuple(int(v) for v in q) for (_p, _c, q) in o.points)
+        assert tq == oq, f"stored points differ at {key}"
+        # voxel cell sets
+        assert set(t["voxels"].keys()) == set(o.voxels.keys()), (
+            f"voxel cells differ at {key}: "
+            f"{len(t['voxels'])} vs {len(o.voxels)}")
+
+
+@pytest.mark.parametrize("kind", ["uniform", "clusters", "surface"])
+def test_matches_oracle(rng, kind):
+    xyz, rgba = make_cloud(rng, 6000, kind)
+    state = run_build(CFG, xyz, rgba, [0, 0, 0], [1, 1, 1])
+    ref = run_oracle(CFG, xyz, rgba, [0, 0, 0], [1, 1, 1])
+    check_against_oracle(CFG, state, ref)
+
+
+def test_single_batch_no_split(rng):
+    xyz, rgba = make_cloud(rng, 20, "uniform")
+    state = run_build(CFG, xyz, rgba, [0, 0, 0], [1, 1, 1])
+    assert int(state.num_nodes) == 1
+    assert int(state.num_points[0]) == 20
+    assert int(state.counter[0]) == 20
+    # root is a leaf but owns a sampling grid: voxels exist
+    assert int(state.num_voxels[0]) > 0
+
+
+def test_invariants(rng):
+    xyz, rgba = make_cloud(rng, 10000, "clusters")
+    state = run_build(CFG, xyz, rgba, [0, 0, 0], [1, 1, 1])
+    n = int(state.num_nodes)
+    child_base = np.asarray(state.child_base)[:n]
+    level = np.asarray(state.level)[:n]
+    num_points = np.asarray(state.num_points)[:n]
+    counter = np.asarray(state.counter)[:n]
+    is_leaf = child_base < 0
+
+    assert not bool(state.mem_capacity_reached)
+    assert int(state.num_points_dropped) == 0
+    # all points accounted for
+    assert num_points[is_leaf].sum() == 10000
+    assert num_points[~is_leaf].sum() == 0
+    # leaves below MAX_DEPTH respect the split threshold
+    deep_ok = is_leaf & (level < CFG.max_depth)
+    assert (counter[deep_ok] <= CFG.max_points_per_node).all()
+    # children blocks are contiguous and inside the watermark
+    inner = np.where(~is_leaf)[0]
+    assert ((child_base[inner] > 0) & (child_base[inner] + 8 <= n)).all()
+    # child parent pointers round-trip
+    parent = np.asarray(state.parent)[:n]
+    for i in inner[:50]:
+        for o in range(8):
+            assert parent[child_base[i] + o] == i
+    # voxel store: after compaction, (node, cell) strictly increasing
+    state = build.compact_voxels(CFG, state)
+    vu = int(state.vox_used)
+    vn = np.asarray(state.vox_node)[:vu]
+    vc = np.asarray(state.vox_cell)[:vu]
+    key = vn.astype(np.int64) * (1 << 21) + vc
+    assert (np.diff(key) > 0).all()
+    # CSR consistency
+    off = np.asarray(state.vox_off)
+    nv = np.asarray(state.num_voxels)
+    assert (off[1:] - off[:-1] == nv).all()
+    assert off[-1] == vu
+    # voxels only on inner nodes (or root)
+    owners = np.unique(vn)
+    assert all((child_base[o] >= 0) or (o == 0) for o in owners)
+
+
+def test_batch_size_independence(rng):
+    """The final tree must not depend on how the stream is chopped into steps...
+    as long as the chop matches the oracle's batching. Here: same data, two step
+    sizes, compare against respective oracles."""
+    xyz, rgba = make_cloud(rng, 4000, "clusters")
+    for bs in [1 << 10, 1 << 12]:
+        cfg = EngineConfig(**{**CFG.__dict__, "step_points": bs})
+        state = run_build(cfg, xyz, rgba, [0, 0, 0], [1, 1, 1])
+        ref = run_oracle(cfg, xyz, rgba, [0, 0, 0], [1, 1, 1])
+        check_against_oracle(cfg, state, ref)
+
+
+def test_compaction_dedups_across_steps(rng):
+    """Feeding the same region twice must not duplicate voxels after compaction."""
+    xyz, rgba = make_cloud(rng, 3000, "surface")
+    both = np.concatenate([xyz, xyz])
+    cols = np.concatenate([rgba, rgba])
+    state = run_build(CFG, both, cols, [0, 0, 0], [1, 1, 1])
+    ref = run_oracle(CFG, both, cols, [0, 0, 0], [1, 1, 1])
+    check_against_oracle(CFG, state, ref)
