@@ -57,6 +57,7 @@ class EngineConfig:
     max_render_voxels: int = 8 << 20      # visible voxel samples per frame (padded)
     max_render_lines: int = 1 << 16       # line-list capacity (reference: 1M verts, render.cu:1120)
     line_steps: int = 64                  # samples per rasterized line segment
+    max_point_size: int = 1               # static unroll bound for settings.point_size
 
     # Per-step voxel-candidate buffer, as a multiple of step_points. Worst case is one
     # candidate per point per ancestor level (max_depth+1); after in-batch first-in-cell

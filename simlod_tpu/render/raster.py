@@ -1,0 +1,212 @@
+"""Software point/voxel rasterization — the TPU-native kernel_render drawing stage.
+
+The reference draws with one workgroup per visible node walking chunk linked lists and
+splatting through a 64-bit atomicMin depth|color framebuffer (render.cu:161-634). TPUs
+have no global atomics; the equivalent here is data-parallel:
+
+  1. gather visible samples into dense arrays (ragged segment/CSR expansion),
+  2. project all samples at once ([S,4] @ [4,4] on the MXU),
+  3. depth pass: scatter-min of float32 depth bits into the framebuffer,
+  4. color pass:
+       - high-quality shading (default, drawNodesHQS:212): accept samples with
+         depth < closest*1.01 and scatter-add RGB+count, then resolve to the average
+         (identical math to render.cu:487-493, 606-634);
+       - plain mode (drawNodes/drawPoint:61-99): accept samples with depth bits equal
+         to the closest and scatter-min the color value — exactly the winner the
+         reference's (depth<<32|color) u64 atomicMin would pick, including the
+         smallest-color tiebreak.
+
+Pixel layout is flat row-major pixel = x + width*y, like the reference framebuffer.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..config import EngineConfig, Uniforms
+from ..octree.structures import OctreeState
+from ..ops import morton
+from ..ops.segments import expand_segments
+
+DEPTH_INF = jnp.int32(C.DEPTH_INF_BITS)
+
+
+class Samples(NamedTuple):
+    xyz: jax.Array      # [S,3] f32 world positions
+    rgba: jax.Array     # [S] u32
+    node: jax.Array     # [S] i32 owning node (for colorByNode/LOD)
+    level: jax.Array    # [S] i32
+    valid: jax.Array    # [S] bool
+    count: jax.Array    # i32
+
+
+def gather_point_samples(cfg: EngineConfig, state: OctreeState,
+                         emitted: jax.Array) -> Samples:
+    """Expand the live segments of emitted nodes into a dense sample window."""
+    n_cap = state.child_base.shape[0]
+    sn = state.seg_node
+    ok = (state.seg_cnt > 0) & (sn >= 0) & emitted[jnp.clip(sn, 0, n_cap - 1)]
+    counts = jnp.where(ok, state.seg_cnt, 0)
+    seg_of, elem, valid, total = expand_segments(counts, cfg.max_render_points)
+    p_cap = state.pt_xyz.shape[0]
+    idx = jnp.where(valid, state.seg_off[seg_of] + elem, p_cap - 1)
+    node = jnp.where(valid, sn[seg_of], 0)
+    return Samples(
+        xyz=state.pt_xyz[idx], rgba=state.pt_rgba[idx],
+        node=node, level=state.level[node], valid=valid,
+        count=jnp.minimum(total, cfg.max_render_points))
+
+
+def gather_voxel_samples(cfg: EngineConfig, state: OctreeState,
+                         emitted: jax.Array) -> Samples:
+    """Expand emitted nodes' voxel CSR ranges; positions are the stored cell centers
+    (reference sampleVoxel voxels.cu:103-115: nodeMin + nodeSize*(cell+0.5)/128)."""
+    n_cap = state.child_base.shape[0]
+    counts = jnp.where(emitted, state.vox_off[1:] - state.vox_off[:-1], 0)
+    node_of, elem, valid, total = expand_segments(counts, cfg.max_render_voxels)
+    v_cap = state.vox_node.shape[0]
+    idx = jnp.where(valid, state.vox_off[:-1][node_of] + elem, v_cap - 1)
+    cell = state.vox_cell[idx]
+    rgba = state.vox_rgba[idx]
+    node = jnp.where(valid, node_of, 0)
+    lvl = state.level[node]
+    size = state.cube_size / jnp.exp2(lvl.astype(jnp.float32))
+    cxyz = jnp.stack(morton.cell_to_xyz(cell), -1).astype(jnp.float32)
+    nmin = state.box_min[None, :] + size[:, None] * jnp.stack(
+        [state.nx[node], state.ny[node], state.nz[node]], -1).astype(jnp.float32)
+    xyz = nmin + size[:, None] * (cxyz + 0.5) / C.GRID_SIZE
+    return Samples(xyz=xyz, rgba=rgba, node=node, level=lvl, valid=valid,
+                   count=jnp.minimum(total, cfg.max_render_voxels))
+
+
+def _lod_color(level: jax.Array) -> jax.Array:
+    """Spectral LOD palette (reference render.cu:49-59)."""
+    idx = jnp.clip(((8.0 - level.astype(jnp.float32)) * 1.8).astype(jnp.int32), 0, 7)
+    return jnp.asarray(C.SPECTRAL, jnp.uint32)[idx]
+
+
+def _sample_colors(s: Samples, uniforms: Uniforms) -> jax.Array:
+    color = s.rgba
+    color = jnp.where(uniforms.color_by_node,
+                      ((s.node % 127).astype(jnp.uint32)
+                       * jnp.uint32(123456789)), color)
+    color = jnp.where(uniforms.color_by_lod, _lod_color(s.level), color)
+    color = jnp.where(uniforms.color_white, jnp.uint32(0x00FFFFFF), color)
+    return color
+
+
+def _project(s: Samples, uniforms: Uniforms):
+    """Project samples; returns (x, y, depth, ok) with the reference's window guard
+    x in (1, width-2), y in (1, height-2), depth > 0 (render.cu:290-298)."""
+    m = uniforms.transform
+    p = jnp.concatenate([s.xyz, jnp.ones((s.xyz.shape[0], 1), jnp.float32)], -1)
+    ndc = p @ m.T
+    wdepth = ndc[:, 3]
+    sx = (ndc[:, 0] / wdepth * 0.5 + 0.5) * uniforms.width
+    sy = (ndc[:, 1] / wdepth * 0.5 + 0.5) * uniforms.height
+    x = sx.astype(jnp.int32)
+    y = sy.astype(jnp.int32)
+    ok = (s.valid & (x > 1) & (x.astype(jnp.float32) < uniforms.width - 2.0)
+          & (y > 1) & (y.astype(jnp.float32) < uniforms.height - 2.0)
+          & (wdepth > 0.0))
+    return x, y, wdepth, ok
+
+
+def _splat_pixels(x, y, ok, uniforms, width: int, height: int,
+                  max_point_size: int = 1):
+    """Yield (pixel, mask) for each of the point_size x point_size splat offsets
+    (static unroll to cfg.max_point_size; masked by the dynamic uniforms.point_size)."""
+    out = []
+    for ox in range(max_point_size):
+        for oy in range(max_point_size):
+            use = ok & (ox < uniforms.point_size) & (oy < uniforms.point_size)
+            px = jnp.clip(x + ox, 0, width - 1)
+            py = jnp.clip(y + oy, 0, height - 1)
+            out.append((px + width * py, use))
+    return out
+
+
+def rasterize(cfg: EngineConfig, uniforms: Uniforms, width: int, height: int,
+              sample_sets: list[Samples]):
+    """Full drawing stage over one or more sample sets.
+
+    Returns (color u32 [H*W], depth_bits i32 [H*W]) with background where uncovered
+    (clear values per render.cu:1126-1131).
+    """
+    npx = width * height
+    projected = []
+    for s in sample_sets:
+        x, y, d, ok = _project(s, uniforms)
+        dbits = jax.lax.bitcast_convert_type(d, jnp.int32)
+        color = _sample_colors(s, uniforms)
+        projected.append((x, y, dbits, d, color, ok))
+
+    # pass 1: depth (scatter-min of positive-float bits behaves like float min)
+    fbd = jnp.full((npx,), DEPTH_INF, jnp.int32)
+    for (x, y, dbits, d, color, ok) in projected:
+        for pix, use in _splat_pixels(x, y, ok, uniforms, width, height,
+                                          cfg.max_point_size):
+            fbd = fbd.at[jnp.where(use, pix, npx)].min(dbits, mode="drop")
+    fbd_f = jax.lax.bitcast_convert_type(fbd, jnp.float32)
+
+    # pass 2a: high-quality shading accumulation (render.cu:487-493)
+    acc = jnp.zeros((npx, 4), jnp.uint32)
+    for (x, y, dbits, d, color, ok) in projected:
+        for pix, use in _splat_pixels(x, y, ok, uniforms, width, height,
+                                          cfg.max_point_size):
+            accept = use & (d < fbd_f[jnp.clip(pix, 0, npx - 1)] * 1.01)
+            i = jnp.where(accept, pix, npx)
+            rgb1 = jnp.stack([color & 0xFF, (color >> 8) & 0xFF,
+                              (color >> 16) & 0xFF,
+                              jnp.ones_like(color)], -1)
+            acc = acc.at[i].add(rgb1, mode="drop")
+    cnt = acc[:, 3]
+    hq_color = jnp.where(
+        cnt > 0,
+        (acc[:, 0] // jnp.maximum(cnt, 1))
+        | ((acc[:, 1] // jnp.maximum(cnt, 1)) << 8)
+        | ((acc[:, 2] // jnp.maximum(cnt, 1)) << 16)
+        | jnp.uint32(0xFF000000),
+        jnp.uint32(C.BACKGROUND_COLOR))
+
+    # pass 2b: plain closest-sample color (u64 atomicMin equivalent incl. tiebreak)
+    cmin = jnp.full((npx,), jnp.uint32(0xFFFFFFFF))
+    for (x, y, dbits, d, color, ok) in projected:
+        for pix, use in _splat_pixels(x, y, ok, uniforms, width, height,
+                                          cfg.max_point_size):
+            eq = use & (dbits == fbd[jnp.clip(pix, 0, npx - 1)])
+            cmin = cmin.at[jnp.where(eq, pix, npx)].min(color, mode="drop")
+    covered = fbd < DEPTH_INF
+    plain_color = jnp.where(covered, cmin, jnp.uint32(C.BACKGROUND_COLOR))
+
+    color = jnp.where(uniforms.use_high_quality_shading, hq_color, plain_color)
+    return color, fbd
+
+
+def edl(color: jax.Array, depth_bits: jax.Array, uniforms: Uniforms,
+        width: int, height: int) -> jax.Array:
+    """Eye-dome lighting post-process (reference render.cu:1255-1325).
+
+    response = sum over 4 neighbors of max(log2(d) - log2(d_n), 0) / 50;
+    shade = exp(-response * 300 * edlStrength). Background-vs-background pairs give
+    inf - inf = NaN which CUDA's fmaxf treats as 0 — replicated explicitly.
+    """
+    d = jax.lax.bitcast_convert_type(depth_bits, jnp.float32).reshape(height, width)
+    logd = jnp.log2(d)
+    resp = jnp.zeros_like(logd)
+    for dx, dy in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+        # neighbor indexing matches pixelID + dx + width*dy with clamping
+        shifted = jnp.roll(logd, shift=(-dy, -dx), axis=(0, 1))
+        diff = logd - shifted
+        diff = jnp.where(jnp.isnan(diff), 0.0, jnp.maximum(diff, 0.0))
+        resp = resp + diff
+    resp = resp / 50.0
+    shade = jnp.exp(-resp * 300.0 * uniforms.edl_strength).reshape(-1)
+    r = ((color & 0xFF).astype(jnp.float32) * shade).astype(jnp.uint32)
+    g = (((color >> 8) & 0xFF).astype(jnp.float32) * shade).astype(jnp.uint32)
+    b = (((color >> 16) & 0xFF).astype(jnp.float32) * shade).astype(jnp.uint32)
+    shaded = r | (g << 8) | (b << 16) | jnp.uint32(0xFF000000)
+    return jnp.where(uniforms.enable_edl, shaded, color)

@@ -1,0 +1,81 @@
+"""Frame assembly — the TPU-native kernel_render (reference render.cu:1084-1345).
+
+One jitted function per (config, width, height): LOD selection -> sample gathering ->
+depth+color rasterization -> optional box overlays -> EDL -> RGBA image + visible stats.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EngineConfig, Uniforms
+from ..octree.structures import OctreeState
+from . import lines as lines_mod
+from . import raster, visibility
+
+
+class FrameStats(NamedTuple):
+    num_visible_nodes: jax.Array
+    num_visible_inner: jax.Array
+    num_visible_leaves: jax.Array
+    num_visible_points: jax.Array
+    num_visible_voxels: jax.Array
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def render_frame(cfg: EngineConfig, state: OctreeState, width: int, height: int,
+                 uniforms: Uniforms):
+    """Render one frame. Returns (rgba u32 [H, W], FrameStats)."""
+    vis = visibility.compute_visibility(state, uniforms)
+
+    pts = raster.gather_point_samples(cfg, state, vis.emitted)
+    vox = raster.gather_voxel_samples(cfg, state, vis.emitted)
+    # honour showPoints: drop both sample sets (drawNodes* early-outs, render.cu:214)
+    pts = pts._replace(valid=pts.valid & uniforms.show_points)
+    vox = vox._replace(valid=vox.valid & uniforms.show_points)
+
+    color, depth = raster.rasterize(cfg, uniforms, width, height, [pts, vox])
+
+    def with_boxes(args):
+        color, depth = args
+        a, b, lc, lv = lines_mod.node_box_lines(state, vis.emitted,
+                                                cfg.max_render_lines)
+        return lines_mod.rasterize_lines(cfg, uniforms, width, height,
+                                         color, depth, a, b, lc, lv)
+
+    color, depth = jax.lax.cond(uniforms.show_bounding_box, with_boxes,
+                                lambda args: args, (color, depth))
+
+    color = raster.edl(color, depth, uniforms, width, height)
+    stats = FrameStats(
+        num_visible_nodes=vis.num_visible_nodes,
+        num_visible_inner=vis.num_visible_inner,
+        num_visible_leaves=vis.num_visible_leaves,
+        num_visible_points=vis.num_visible_points,
+        num_visible_voxels=vis.num_visible_voxels,
+    )
+    return color.reshape(height, width), stats
+
+
+def image_to_rgba8(img_u32) -> "np.ndarray":
+    """u32 abgr words -> [H, W, 4] uint8 (R = low byte, like the reference)."""
+    import numpy as np
+    img = np.asarray(img_u32)
+    out = np.zeros(img.shape + (4,), np.uint8)
+    out[..., 0] = img & 0xFF
+    out[..., 1] = (img >> 8) & 0xFF
+    out[..., 2] = (img >> 16) & 0xFF
+    out[..., 3] = (img >> 24) & 0xFF
+    return out
+
+
+def write_ppm(path: str, img_u32) -> None:
+    """Minimal dependency-free image writer (binary PPM, RGB)."""
+    rgba = image_to_rgba8(img_u32)
+    h, w = rgba.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (w, h))
+        f.write(rgba[::-1, :, :3].tobytes())  # flip: GL-style y-up to image y-down
