@@ -1,0 +1,113 @@
+"""Benchmark: LOD octree build throughput (MP/s) + 1080p render time on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Baseline: the reference's 400 MP/s end-to-end drag-drop load of 680 M points on an
+RTX 4090 + PCIe5 SSD (reference README.md:21; see BASELINE.md). The Morro Bay
+datasets are not redistributable, so the bench streams a synthetic lidar-like terrain
+(scan-line ordered; see simlod_tpu/formats/synthetic.py) with the same octree
+parameters (50k leaf cap, 128^3 voxel grids).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_POINTS = int(os.environ.get("BENCH_POINTS", 16_000_000))
+WIDTH, HEIGHT = 1920, 1080
+BASELINE_MPS = 400.0
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from simlod_tpu.config import EngineConfig, Settings, Uniforms
+    from simlod_tpu.formats import synthetic
+    from simlod_tpu.octree import build
+    from simlod_tpu.octree.structures import init_state
+    from simlod_tpu.render import camera as cam
+    from simlod_tpu.render.render import render_frame
+
+    platform = jax.devices()[0].platform
+
+    cfg = EngineConfig(
+        node_capacity=1 << 19,
+        point_capacity=max(N_POINTS + (1 << 20), 1 << 24),
+        voxel_capacity=1 << 26,
+        segment_capacity=1 << 21,
+        step_points=2 << 20,
+        spill_capacity=2 << 20,
+    )
+
+    xyz, rgba = synthetic.terrain(N_POINTS, seed=11)
+    box_max = xyz.max(axis=0)
+
+    B = cfg.step_points
+    n_steps = (N_POINTS + B - 1) // B
+    batches = []
+    for s in range(n_steps):
+        lo, hi = s * B, min((s + 1) * B, N_POINTS)
+        cx = np.zeros((B, 3), np.float32)
+        cc = np.zeros((B,), np.uint32)
+        cx[: hi - lo] = xyz[lo:hi]
+        cc[: hi - lo] = rgba[lo:hi]
+        batches.append((cx, cc, hi - lo))
+
+    # --- warm up (compile) on a throwaway state ---
+    state = init_state(cfg, np.zeros(3, np.float32), box_max)
+    state = build.build_step(cfg, state, jnp.asarray(batches[0][0]),
+                             jnp.asarray(batches[0][1]), jnp.int32(batches[0][2]))
+    state = build.compact_voxels(cfg, state)
+    jax.block_until_ready(state.num_nodes)
+
+    # --- timed build (device_put overlap like the streaming pipeline) ---
+    state = init_state(cfg, np.zeros(3, np.float32), box_max)
+    jax.block_until_ready(state.num_nodes)
+    t0 = time.perf_counter()
+    for (cx, cc, n) in batches:
+        xd = jax.device_put(cx)
+        cd = jax.device_put(cc)
+        state = build.build_step(cfg, state, xd, cd, jnp.int32(n))
+    state = build.compact_voxels(cfg, state)
+    num_nodes = int(state.num_nodes)  # forces completion
+    t_build = time.perf_counter() - t0
+    mps = N_POINTS / t_build / 1e6
+
+    # --- timed 1080p render ---
+    c = cam.Camera(width=WIDTH, height=HEIGHT)
+    orbit = cam.OrbitControls()
+    orbit.focus_box(np.zeros(3), box_max)
+    c.world = orbit.world()
+    u = Uniforms.make(WIDTH, HEIGHT, c.transform(), settings=Settings())
+    img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u)  # compile
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    n_frames = 5
+    for _ in range(n_frames):
+        img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u)
+    jax.block_until_ready(img)
+    render_ms = (time.perf_counter() - t0) / n_frames * 1e3
+
+    result = {
+        "metric": "LOD octree ingest throughput (synthetic lidar terrain)",
+        "value": round(mps, 2),
+        "unit": "MP/s",
+        "vs_baseline": round(mps / BASELINE_MPS, 4),
+        "render_ms_1080p": round(render_ms, 2),
+        "points": N_POINTS,
+        "build_seconds": round(t_build, 3),
+        "num_nodes": num_nodes,
+        "num_voxels": int(state.vox_used),
+        "visible_points": int(fstats.num_visible_points),
+        "visible_voxels": int(fstats.num_visible_voxels),
+        "platform": platform,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

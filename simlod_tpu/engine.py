@@ -1,0 +1,229 @@
+"""Engine orchestrator — the TPU-native main_progressive_octree frame loop (C1).
+
+The reference alternates two cooperative kernels per frame on one device:
+renderCUDA() then updateOctree() (main_progressive_octree.cpp:1176-1180). Here the
+equivalent is a fused jitted step that ingests a point batch, updates the octree, and
+renders the frame in one XLA program, plus unfused build/render entry points.
+
+Engine policies replicated from the reference:
+  - ingest budget per frame (<=20 x 1M points, voxels.cu:883 + 10 ms budget :939):
+    here the step batch size is the static budget; the host adapts batches-per-step
+    against a wall-clock target (`frame_budget_ms`).
+  - capacity watermark: when pools run out, the engine stops ingesting and reports
+    mem_capacity_reached (reference: voxels.cu:896-912 + red GUI warning).
+  - reset(): re-initializes device state and restarts streaming (reference :775-809).
+  - benchmark mode: min/max/avg per-step and per-frame timings (reference
+    :410-422, 523-535 via CUDA events; here host wall clock around block_until_ready).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import EngineConfig, Settings, Stats, Uniforms
+from .io.streaming import PointStream
+from .octree import build
+from .octree.structures import OctreeState, init_state
+from .render import camera as camera_mod
+from .render.render import FrameStats, render_frame, render_frame_impl
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3), donate_argnums=1)
+def _fused_step(cfg: EngineConfig, state: OctreeState, width: int, height: int,
+                xyz, rgba, count, uniforms: Uniforms):
+    """One simultaneous build+render step (the two reference kernels fused)."""
+    state = build.build_step_impl(cfg, state, xyz, rgba, count)
+    img, fstats = render_frame_impl(cfg, state, width, height, uniforms)
+    return state, img, fstats
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _collect_stats(cfg: EngineConfig, state: OctreeState, fstats: FrameStats | None):
+    n_cap = state.child_base.shape[0]
+    ids = jnp.arange(n_cap, dtype=jnp.int32)
+    active = ids < state.num_nodes
+    leaf = active & (state.child_base < 0)
+    z = jnp.zeros((), jnp.int32)
+    return Stats(
+        num_nodes=state.num_nodes,
+        num_inner=jnp.sum((active & ~leaf).astype(jnp.int32)),
+        num_leaves=jnp.sum(leaf.astype(jnp.int32)),
+        num_nonempty_leaves=jnp.sum((leaf & (state.num_points > 0)).astype(jnp.int32)),
+        num_points=jnp.sum(jnp.where(leaf, state.num_points, 0)),
+        num_voxels=jnp.sum(jnp.where(active, state.num_voxels, 0)),
+        num_voxels_stored=state.vox_used,
+        num_visible_nodes=fstats.num_visible_nodes if fstats else z,
+        num_visible_inner=fstats.num_visible_inner if fstats else z,
+        num_visible_leaves=fstats.num_visible_leaves if fstats else z,
+        num_visible_points=fstats.num_visible_points if fstats else z,
+        num_visible_voxels=fstats.num_visible_voxels if fstats else z,
+        num_points_processed=state.num_points_processed,
+        num_points_dropped=state.num_points_dropped,
+        pool_used=state.pool_used,
+        pool_waste=state.pool_waste,
+        num_segments=state.num_segments,
+        mem_capacity_reached=state.mem_capacity_reached,
+    )
+
+
+@dataclasses.dataclass
+class Timings:
+    """min/max/avg accumulator (reference benchmark mode, :234-246)."""
+
+    count: int = 0
+    total: float = 0.0
+    min: float = float("inf")
+    max: float = 0.0
+
+    def add(self, dt: float):
+        self.count += 1
+        self.total += dt
+        self.min = min(self.min, dt)
+        self.max = max(self.max, dt)
+
+    @property
+    def avg(self) -> float:
+        return self.total / self.count if self.count else 0.0
+
+    def row(self) -> dict:
+        return dict(count=self.count, avg_ms=self.avg * 1e3,
+                    min_ms=self.min * 1e3 if self.count else 0.0,
+                    max_ms=self.max * 1e3)
+
+
+class Engine:
+    """Holds device state and drives streaming, construction, and rendering."""
+
+    def __init__(self, cfg: EngineConfig | None = None,
+                 settings: Settings | None = None, device=None):
+        self.cfg = cfg or EngineConfig()
+        self.settings = settings or Settings()
+        self.device = device
+        self.state: OctreeState | None = None
+        self.stream: PointStream | None = None
+        self.camera = camera_mod.Camera()
+        self.orbit = camera_mod.OrbitControls()
+        self._transform_update_bound = None
+        self._last_compacted = 0
+        self.last_batch_finished = False
+        self.t_build = Timings()
+        self.t_render = Timings()
+        self.t_fused = Timings()
+
+    # --- lifecycle (reference reset()/reload(), :644-809) ---
+    def reset(self, box_min, box_max):
+        self.state = init_state(self.cfg, box_min, box_max)
+        if self.device is not None:
+            self.state = jax.device_put(self.state, self.device)
+        self._last_compacted = 0
+        self.last_batch_finished = False
+        self.t_build = Timings()
+        self.t_render = Timings()
+        self.t_fused = Timings()
+        if self.settings.auto_focus_on_load:
+            self.orbit.focus_box(np.zeros(3), np.asarray(box_max) - np.asarray(box_min))
+            self.camera.world = self.orbit.world()
+
+    def open(self, paths):
+        """Scan files, reset the octree to their union box, start streaming."""
+        self.stream = PointStream(paths, self.cfg.step_points, device=self.device)
+        box = self.stream.box_max - self.stream.box_min
+        self.reset(np.zeros(3, np.float32), box.astype(np.float32))
+        self._stream_iter = iter(self.stream)
+        return self.stream
+
+    # --- construction ---
+    def ingest(self, xyz, rgba, count) -> None:
+        """One build step; host-side compaction policy runs after."""
+        t0 = time.perf_counter()
+        self.state = build.build_step(self.cfg, self.state, xyz, rgba,
+                                      jnp.asarray(count, jnp.int32))
+        self._maybe_compact()
+        jax.block_until_ready(self.state.num_nodes)
+        self.t_build.add(time.perf_counter() - t0)
+
+    def ingest_next(self) -> bool:
+        """Pull the next streamed step batch; returns False when the stream is done."""
+        if self.stream is None:
+            return False
+        item = next(self._stream_iter, None)
+        if item is None:
+            self.last_batch_finished = True
+            return False
+        if bool(self.state.mem_capacity_reached):
+            # reference treats capacity-reached as end of load (:1216-1219)
+            self.last_batch_finished = True
+            return False
+        xyz, rgba, count = item
+        self.ingest(xyz, rgba, count)
+        return True
+
+    def _maybe_compact(self, force: bool = False):
+        used = int(self.state.vox_used)
+        threshold = max(int(self._last_compacted
+                            * (1.0 + self.cfg.voxel_compact_slack)),
+                        self.cfg.step_points)
+        if force or used > threshold:
+            self.state = build.compact_voxels(self.cfg, self.state)
+            self._last_compacted = int(self.state.vox_used)
+            # opportunistic directory hygiene
+            if int(self.state.num_segments) > self.cfg.segment_capacity // 2:
+                self.state = build.compact_segments(self.cfg, self.state)
+
+    # --- rendering ---
+    def uniforms(self, width: int, height: int) -> Uniforms:
+        self.camera.width, self.camera.height = width, height
+        self.camera.fovy = self.settings.fovy
+        t = self.camera.transform()
+        if self.settings.do_update_visibility or self._transform_update_bound is None:
+            self._transform_update_bound = t
+        return Uniforms.make(width, height, t, self._transform_update_bound,
+                             self.settings)
+
+    def render(self, width: int, height: int):
+        """Render-only frame -> (image u32 [H,W], Stats)."""
+        self._maybe_compact(force=int(self.state.vox_used) > self._last_compacted)
+        u = self.uniforms(width, height)
+        t0 = time.perf_counter()
+        img, fstats = render_frame(self.cfg, self.state, width, height, u)
+        img.block_until_ready()
+        self.t_render.add(time.perf_counter() - t0)
+        return img, _collect_stats(self.cfg, self.state, fstats)
+
+    def frame(self, width: int, height: int):
+        """One simultaneous step: ingest-next + render, fused when data is flowing
+        (the reference's per-frame renderCUDA + updateOctree)."""
+        item = None
+        if self.stream is not None and not self.last_batch_finished \
+                and not bool(self.state.mem_capacity_reached):
+            item = next(self._stream_iter, None)
+            if item is None:
+                self.last_batch_finished = True
+        if item is None:
+            return self.render(width, height)
+        xyz, rgba, count = item
+        u = self.uniforms(width, height)
+        t0 = time.perf_counter()
+        self.state, img, fstats = _fused_step(
+            self.cfg, self.state, width, height, xyz, rgba,
+            jnp.asarray(count, jnp.int32), u)
+        img.block_until_ready()
+        self.t_fused.add(time.perf_counter() - t0)
+        self._maybe_compact()
+        return img, _collect_stats(self.cfg, self.state, fstats)
+
+    # --- reporting (reference stats table, :1484-1583) ---
+    def report(self) -> dict:
+        stats = jax.tree.map(lambda x: np.asarray(x).item(),
+                             _collect_stats(self.cfg, self.state, None))
+        out = dataclasses.asdict(stats)
+        out["timings"] = dict(build=self.t_build.row(), render=self.t_render.row(),
+                              fused=self.t_fused.row())
+        if self.stream is not None:
+            out["stream"] = self.stream.stats()
+        return out

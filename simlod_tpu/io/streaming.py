@@ -1,0 +1,209 @@
+"""Host streaming pipeline: files -> loader threads -> staging buffers -> device ring.
+
+The reference streams with 2xnCPU detached loader threads parsing into a pinned-memory
+pool, a high-priority uploader thread issuing cuMemcpyHtoDAsync into a 50-slot device
+ring, and counter-based backpressure (main_progressive_octree.cpp:141-222, 811-1063).
+
+TPU-native equivalent:
+  - loader threads parse file batches into reusable host staging buffers (the
+    pinned-pool analogue — numpy arrays recycled through a free queue),
+  - an uploader thread coalesces loader batches into step-sized buffers and issues
+    jax.device_put (async; XLA overlaps the transfer with running steps),
+  - backpressure: at most `ring_slots` device-resident steps may be in flight ahead of
+    the consumer (the reference stalls loaders when uploaded-processed > ring capacity,
+    :1012-1015).
+
+File scanning/bounds mirror reload() (main_progressive_octree.cpp:644-773): all files
+share one union box; every file's coordinates are translated by -union_min so the
+octree domain starts at the origin.
+"""
+from __future__ import annotations
+
+import collections
+import dataclasses
+import os
+import queue
+import threading
+import time
+
+import numpy as np
+
+from ..formats import las, laz, simlod
+
+BATCH_POINTS = 1_000_000   # loader batch granularity (reference MAX_BATCH_SIZE, :36)
+
+
+@dataclasses.dataclass
+class FileEntry:
+    path: str
+    kind: str                # "simlod" | "las" | "laz"
+    num_points: int
+    box_min: np.ndarray      # original coords
+    box_max: np.ndarray
+    header: object = None
+
+
+@dataclasses.dataclass
+class BatchRef:
+    entry: FileEntry
+    first: int
+    count: int
+
+
+def scan_paths(paths) -> list[FileEntry]:
+    files = []
+    for p in paths:
+        if os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                files.append(os.path.join(p, name))
+        else:
+            files.append(p)
+    entries = []
+    for f in files:
+        low = f.lower()
+        if low.endswith(".simlod"):
+            info = simlod.load_info(f)
+            entries.append(FileEntry(f, "simlod", info.num_points,
+                                     info.box_min.astype(np.float64),
+                                     info.box_max.astype(np.float64), info))
+        elif low.endswith(".las"):
+            hdr = las.load_header(f)
+            entries.append(FileEntry(f, "las", hdr.num_points, hdr.box_min,
+                                     hdr.box_max, hdr))
+        elif low.endswith(".laz"):
+            hdr = laz.load_header(f)
+            entries.append(FileEntry(f, "laz", hdr.num_points, hdr.box_min,
+                                     hdr.box_max, hdr))
+    return entries
+
+
+class PointStream:
+    """Threaded streaming reader yielding device-ready step batches.
+
+    Iterate to get (xyz_device [B,3] f32, rgba_device [B] u32, count int); the arrays
+    are padded to `step_points` rows. Device transfer is asynchronous (jax.device_put);
+    the consumer's jit step blocks on it naturally.
+    """
+
+    def __init__(self, paths, step_points: int, device=None,
+                 num_loaders: int | None = None, ring_slots: int = 8,
+                 batch_points: int = BATCH_POINTS):
+        self.entries = scan_paths(paths)
+        if not self.entries:
+            raise FileNotFoundError(f"no point cloud files under {paths!r}")
+        self.step_points = step_points
+        self.device = device
+        self.batch_points = batch_points
+        self.box_min = np.min([e.box_min for e in self.entries], axis=0)
+        self.box_max = np.max([e.box_max for e in self.entries], axis=0)
+        self.total_points = sum(e.num_points for e in self.entries)
+
+        # batch list (reference reload(), :719-767)
+        self._batches = collections.deque()
+        for e in self.entries:
+            for first in range(0, e.num_points, batch_points):
+                cnt = min(batch_points, e.num_points - first)
+                self._batches.append(BatchRef(e, first, cnt))
+        self._batch_lock = threading.Lock()
+
+        n_loaders = num_loaders or max(2, 2 * (os.cpu_count() or 1))
+        self._loaded: queue.Queue = queue.Queue(maxsize=max(4, ring_slots))
+        self._ready: queue.Queue = queue.Queue(maxsize=ring_slots)  # backpressure
+        self._stop = threading.Event()
+        self.bytes_read = 0
+        self.points_loaded = 0
+        self.t_start = time.perf_counter()
+
+        self._loaders = [threading.Thread(target=self._loader, daemon=True)
+                         for _ in range(n_loaders)]
+        self._uploader = threading.Thread(target=self._upload, daemon=True)
+        self._n_active_loaders = n_loaders
+        self._active_lock = threading.Lock()
+        for t in self._loaders:
+            t.start()
+        self._uploader.start()
+
+    # --- loader threads (reference spawnLoader, :811-958) ---
+    def _loader(self):
+        translation = -self.box_min
+        while not self._stop.is_set():
+            with self._batch_lock:
+                if not self._batches:
+                    break
+                ref = self._batches.popleft()
+            e = ref.entry
+            if e.kind == "simlod":
+                xyz, rgba = simlod.read_points(e.path, ref.first, ref.count)
+                # simlod files are already rebased to their own origin; shift into
+                # the union frame
+                xyz = xyz + (e.box_min + translation).astype(np.float32)[None, :]
+                self.bytes_read += ref.count * simlod.POINT_BYTES
+            elif e.kind == "las":
+                xyz, rgba = las.read_points(e.header, ref.first, ref.count,
+                                            translation=translation)
+                self.bytes_read += ref.count * e.header.bytes_per_point
+            else:
+                xyz, rgba = laz.read_points(e.path, ref.first, ref.count,
+                                            translation=translation)
+                self.bytes_read += ref.count * 8  # compressed estimate
+            self.points_loaded += len(xyz)
+            self._loaded.put((xyz, rgba))
+        with self._active_lock:
+            self._n_active_loaders -= 1
+            if self._n_active_loaders == 0:
+                self._loaded.put(None)  # end-of-stream sentinel
+
+    # --- uploader thread (reference spawnUploader, :963-1063) ---
+    def _upload(self):
+        import jax
+
+        B = self.step_points
+        acc_xyz = np.zeros((B, 3), np.float32)
+        acc_rgba = np.zeros((B,), np.uint32)
+        fill = 0
+
+        def flush():
+            nonlocal acc_xyz, acc_rgba, fill
+            if fill == 0:
+                return
+            xd = jax.device_put(acc_xyz, self.device)
+            cd = jax.device_put(acc_rgba, self.device)
+            self._ready.put((xd, cd, fill))   # blocks = backpressure
+            acc_xyz = np.zeros((B, 3), np.float32)
+            acc_rgba = np.zeros((B,), np.uint32)
+            fill = 0
+
+        while not self._stop.is_set():
+            item = self._loaded.get()
+            if item is None:
+                break
+            xyz, rgba = item
+            off = 0
+            while off < len(xyz):
+                take = min(B - fill, len(xyz) - off)
+                acc_xyz[fill:fill + take] = xyz[off:off + take]
+                acc_rgba[fill:fill + take] = rgba[off:off + take]
+                fill += take
+                off += take
+                if fill == B:
+                    flush()
+        flush()
+        self._ready.put(None)
+
+    # --- consumer side ---
+    def __iter__(self):
+        while True:
+            item = self._ready.get()
+            if item is None:
+                return
+            yield item
+
+    def stop(self):
+        self._stop.set()
+
+    def stats(self):
+        dt = time.perf_counter() - self.t_start
+        return dict(points_loaded=self.points_loaded, bytes_read=self.bytes_read,
+                    seconds=dt,
+                    mps=self.points_loaded / dt / 1e6 if dt > 0 else 0.0,
+                    gbps=self.bytes_read / dt / 1e9 if dt > 0 else 0.0)

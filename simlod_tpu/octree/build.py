@@ -325,8 +325,11 @@ def split_loop(cfg: EngineConfig, state: OctreeState, work: Work):
         state, work, n_take = _split_round(cfg, state, work)
         return state, work, n_take, rounds + 1
 
+    # derive loop scalars from work.count so their sharding/varying type matches the
+    # loop body's outputs under shard_map (vma typing)
+    one = jnp.ones_like(work.count)
     state, work, _, _ = jax.lax.while_loop(
-        cond, body, (state, work, jnp.int32(1), jnp.int32(0)))
+        cond, body, (state, work, one, jnp.zeros_like(work.count)))
     return state, work
 
 
@@ -436,9 +439,8 @@ def insert_points(cfg: EngineConfig, state: OctreeState, work: Work):
     return state
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def build_step(cfg: EngineConfig, state: OctreeState, xyz: jax.Array,
-               rgba: jax.Array, count: jax.Array) -> OctreeState:
+def build_step_impl(cfg: EngineConfig, state: OctreeState, xyz: jax.Array,
+                    rgba: jax.Array, count: jax.Array) -> OctreeState:
     """Ingest one batch: route -> split loop -> voxel sampling -> insert.
 
     The whole step is one fused jit program — the TPU analogue of one cooperative
@@ -451,8 +453,11 @@ def build_step(cfg: EngineConfig, state: OctreeState, xyz: jax.Array,
     return state
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def compact_voxels(cfg: EngineConfig, state: OctreeState) -> OctreeState:
+build_step = functools.partial(jax.jit, static_argnums=0,
+                               donate_argnums=1)(build_step_impl)
+
+
+def compact_voxels_impl(cfg: EngineConfig, state: OctreeState) -> OctreeState:
     """Sort the voxel store by (node, cell), drop duplicate cells (first arrival wins),
     and rebuild the per-node CSR directory + exact per-node voxel counts.
 
@@ -489,8 +494,7 @@ def compact_voxels(cfg: EngineConfig, state: OctreeState) -> OctreeState:
     return state
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def compact_segments(cfg: EngineConfig, state: OctreeState) -> OctreeState:
+def compact_segments_impl(cfg: EngineConfig, state: OctreeState) -> OctreeState:
     """Drop dead (split-killed) segment directory entries."""
     s_cap = state.seg_node.shape[0]
     rows = jnp.arange(s_cap, dtype=jnp.int32)
@@ -503,3 +507,9 @@ def compact_segments(cfg: EngineConfig, state: OctreeState) -> OctreeState:
     state.seg_cnt = jnp.where(keep, c, 0)
     state.num_segments = n_alive
     return state
+
+
+compact_voxels = functools.partial(jax.jit, static_argnums=0,
+                                   donate_argnums=1)(compact_voxels_impl)
+compact_segments = functools.partial(jax.jit, static_argnums=0,
+                                     donate_argnums=1)(compact_segments_impl)

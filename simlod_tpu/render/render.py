@@ -25,9 +25,8 @@ class FrameStats(NamedTuple):
     num_visible_voxels: jax.Array
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
-def render_frame(cfg: EngineConfig, state: OctreeState, width: int, height: int,
-                 uniforms: Uniforms):
+def render_frame_impl(cfg: EngineConfig, state: OctreeState, width: int, height: int,
+                      uniforms: Uniforms):
     """Render one frame. Returns (rgba u32 [H, W], FrameStats)."""
     vis = visibility.compute_visibility(state, uniforms)
 
@@ -58,6 +57,9 @@ def render_frame(cfg: EngineConfig, state: OctreeState, width: int, height: int,
         num_visible_voxels=vis.num_visible_voxels,
     )
     return color.reshape(height, width), stats
+
+
+render_frame = functools.partial(jax.jit, static_argnums=(0, 2, 3))(render_frame_impl)
 
 
 def image_to_rgba8(img_u32) -> "np.ndarray":

@@ -1,0 +1,94 @@
+"""Engine end-to-end tests: streaming build, fused step, reset, stats, capacity."""
+import numpy as np
+import pytest
+
+from simlod_tpu import constants as C
+from simlod_tpu.config import EngineConfig, Settings
+from simlod_tpu.engine import Engine
+from simlod_tpu.formats import simlod, synthetic
+
+CFG = EngineConfig(
+    node_capacity=1 << 13, point_capacity=1 << 18, voxel_capacity=1 << 20,
+    segment_capacity=1 << 14, step_points=1 << 13, spill_capacity=1 << 13,
+    max_splits_per_round=64, seg_select_cap=1 << 10, max_points_per_node=256,
+    max_render_points=1 << 17, max_render_voxels=1 << 17,
+)
+
+
+@pytest.fixture
+def cloud_file(tmp_path, rng):
+    xyz, rgba = synthetic.terrain(60_000, seed=5, extent=100.0, z_scale=12.0)
+    p = str(tmp_path / "t.simlod")
+    simlod.write(p, xyz, rgba)
+    return p
+
+
+def test_build_only(cloud_file):
+    eng = Engine(CFG, Settings())
+    eng.open([cloud_file])
+    while eng.ingest_next():
+        pass
+    rep = eng.report()
+    assert rep["num_points_processed"] == 60_000
+    assert rep["num_points"] == 60_000
+    assert rep["num_nodes"] > 8  # splits happened at 256/leaf
+    assert not rep["mem_capacity_reached"]
+    assert rep["stream"]["points_loaded"] == 60_000
+
+
+def test_simultaneous_frames(cloud_file):
+    eng = Engine(CFG, Settings(min_node_size=8.0))
+    eng.open([cloud_file])
+    frames = []
+    while not eng.last_batch_finished:
+        img, stats = eng.frame(96, 64)
+        frames.append(np.asarray(img))
+    assert len(frames) >= 2  # several steps streamed
+    rep = eng.report()
+    assert rep["num_points_processed"] == 60_000
+    # the last frame sees the full cloud; must have drawn something
+    assert (frames[-1] != C.BACKGROUND_COLOR).any()
+    # progressive: early frame has fewer stored points than late frame
+    assert rep["num_visible_nodes"] >= 0
+
+
+def test_reset_and_reload(cloud_file):
+    eng = Engine(CFG, Settings())
+    eng.open([cloud_file])
+    while eng.ingest_next():
+        pass
+    n1 = eng.report()["num_nodes"]
+    eng.open([cloud_file])  # drag-drop analogue: reset + reload
+    assert int(eng.state.num_nodes) == 1
+    while eng.ingest_next():
+        pass
+    assert eng.report()["num_nodes"] == n1  # deterministic rebuild
+
+
+def test_capacity_watermark(tmp_path, rng):
+    # tiny point pool -> capacity reached, ingest stops, flag set, no crash
+    cfg = EngineConfig(**{**CFG.__dict__, "point_capacity": 1 << 12})
+    xyz, rgba = synthetic.terrain(30_000, seed=2, extent=50.0)
+    p = str(tmp_path / "small.simlod")
+    simlod.write(p, xyz, rgba)
+    eng = Engine(cfg, Settings())
+    eng.open([p])
+    while eng.ingest_next():
+        pass
+    rep = eng.report()
+    assert rep["mem_capacity_reached"]
+    assert rep["num_points"] <= 1 << 12
+    assert rep["num_points_dropped"] > 0
+
+
+def test_render_after_build(cloud_file):
+    eng = Engine(CFG, Settings(min_node_size=8.0))
+    eng.open([cloud_file])
+    while eng.ingest_next():
+        pass
+    img, stats = eng.render(128, 96)
+    img = np.asarray(img)
+    assert img.shape == (96, 128)
+    assert (img != C.BACKGROUND_COLOR).any()
+    assert int(stats.num_visible_nodes) > 0
+    assert int(stats.num_points) == 60_000

@@ -1,0 +1,115 @@
+"""Format round-trips: .simlod read/write, LAS read/write, las2simlod converter,
+synthetic generator sanity, streaming pipeline end-to-end."""
+import numpy as np
+import pytest
+
+from simlod_tpu.formats import las, simlod, synthetic
+from simlod_tpu.io.streaming import PointStream, scan_paths
+from simlod_tpu.tools import las2simlod
+
+
+def make_cloud(rng, n=5000):
+    xyz = (rng.random((n, 3)) * [100.0, 50.0, 20.0] + [500.0, -200.0, 30.0]
+           ).astype(np.float64)
+    rgba = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    return xyz, rgba
+
+
+def test_simlod_roundtrip(tmp_path, rng):
+    xyz, rgba = make_cloud(rng)
+    p = str(tmp_path / "a.simlod")
+    simlod.write(p, xyz, rgba)
+    info = simlod.load_info(p)
+    assert info.num_points == len(xyz)
+    np.testing.assert_allclose(info.box_min, [0, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(info.box_max, xyz.max(0) - xyz.min(0), rtol=1e-5)
+    x2, c2 = simlod.read_points(p)
+    np.testing.assert_allclose(x2, (xyz - xyz.min(0)).astype(np.float32), atol=1e-4)
+    np.testing.assert_array_equal(c2, rgba)
+    # ranged read
+    x3, c3 = simlod.read_points(p, first=100, count=50)
+    np.testing.assert_array_equal(c3, rgba[100:150])
+
+
+def test_las_roundtrip(tmp_path, rng):
+    xyz, rgba = make_cloud(rng)
+    rgba = rgba & 0x00FFFFFF  # LAS format 2 has no alpha
+    p = str(tmp_path / "a.las")
+    las.write(p, xyz, rgba)
+    hdr = las.load_header(p)
+    assert hdr.num_points == len(xyz)
+    assert hdr.format == 2
+    np.testing.assert_allclose(hdr.box_min, xyz.min(0), atol=1e-6)
+    x2, c2 = las.read_points(p)
+    # default translation rebases to the origin, scale 0.001 quantization
+    np.testing.assert_allclose(x2, xyz - xyz.min(0), atol=2e-3)
+    np.testing.assert_array_equal(c2 & 0xFFFFFF, rgba)
+    assert (c2 >> 24 == 255).all()
+
+
+def test_las2simlod_tool(tmp_path, rng):
+    xyz, rgba = make_cloud(rng, 3000)
+    rgba = rgba & 0x00FFFFFF
+    src = str(tmp_path / "a.las")
+    dst = str(tmp_path / "a.simlod")
+    las.write(src, xyz, rgba)
+    n = las2simlod.convert(src, dst, batch=1000, verbose=False)
+    assert n == 3000
+    info = simlod.load_info(dst)
+    assert info.num_points == 3000
+    x2, c2 = simlod.read_points(dst)
+    np.testing.assert_allclose(x2, xyz - xyz.min(0), atol=2e-3)
+    np.testing.assert_array_equal(c2 & 0xFFFFFF, rgba)
+
+
+def test_scan_paths_dir(tmp_path, rng):
+    xyz, rgba = make_cloud(rng, 100)
+    simlod.write(str(tmp_path / "a.simlod"), xyz, rgba)
+    simlod.write(str(tmp_path / "b.simlod"), xyz + 1000.0, rgba)
+    entries = scan_paths([str(tmp_path)])
+    assert len(entries) == 2
+    assert {e.kind for e in entries} == {"simlod"}
+
+
+def test_stream_end_to_end(tmp_path, rng):
+    xyz, rgba = make_cloud(rng, 30_000)
+    simlod.write(str(tmp_path / "a.simlod"), xyz, rgba)
+    stream = PointStream([str(tmp_path / "a.simlod")], step_points=1 << 12,
+                         batch_points=7_000)
+    total = 0
+    seen_colors = []
+    for xd, cd, count in stream:
+        assert xd.shape == (1 << 12, 3)
+        total += count
+        seen_colors.append(np.asarray(cd)[:count])
+    assert total == 30_000
+    # stream preserves content (order within the stream is file order)
+    got = np.concatenate(seen_colors)
+    np.testing.assert_array_equal(np.sort(got), np.sort(rgba))
+    s = stream.stats()
+    assert s["points_loaded"] == 30_000
+
+
+def test_stream_union_box(tmp_path, rng):
+    xyz, rgba = make_cloud(rng, 1000)
+    simlod.write(str(tmp_path / "a.simlod"), xyz, rgba)
+    simlod.write(str(tmp_path / "b.simlod"), xyz + 500.0, rgba)
+    stream = PointStream([str(tmp_path)], step_points=1 << 12)
+    pts = []
+    for xd, cd, count in stream:
+        pts.append(np.asarray(xd)[:count])
+    allp = np.concatenate(pts)
+    # all coordinates rebased into the union frame starting at ~0
+    assert allp.min() >= -1e-3
+    ext = stream.box_max - stream.box_min
+    assert (allp.max(0) <= ext + 1e-2).all()
+
+
+def test_synthetic_shape(rng):
+    xyz, rgba = synthetic.terrain(10_000, seed=3)
+    assert xyz.shape == (10_000, 3) and xyz.dtype == np.float32
+    assert rgba.shape == (10_000,) and rgba.dtype == np.uint32
+    assert (rgba >> 24 == 255).all()
+    # scan-order locality: consecutive points are close in x/y
+    d = np.linalg.norm(np.diff(xyz[:, :2], axis=0), axis=1)
+    assert np.median(d) < 30.0

@@ -1,0 +1,100 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simlod_tpu import constants as C
+from simlod_tpu.config import EngineConfig, Settings, Uniforms
+from simlod_tpu.formats import synthetic
+from simlod_tpu.octree import build
+from simlod_tpu.octree.structures import init_state
+from simlod_tpu.parallel import shard
+from simlod_tpu.render import camera as cam
+from simlod_tpu.render.render import render_frame
+
+CFG = EngineConfig(
+    node_capacity=1 << 12, point_capacity=1 << 16, voxel_capacity=1 << 18,
+    segment_capacity=1 << 14, step_points=1 << 13, spill_capacity=1 << 13,
+    max_splits_per_round=64, seg_select_cap=1 << 10, max_points_per_node=128,
+    max_render_points=1 << 16, max_render_voxels=1 << 16,
+)
+
+W, H = 96, 64
+
+
+def test_mesh_and_brick_level():
+    assert shard.brick_level_for(1) == 0
+    assert shard.brick_level_for(8) == 1
+    assert shard.brick_level_for(9) == 2
+    assert shard.brick_level_for(64) == 2
+    mesh = shard.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_build_and_render(rng):
+    mesh = shard.make_mesh()
+    n = mesh.devices.size
+    xyz, rgba = synthetic.terrain(20_000, seed=4, extent=1.0, z_scale=0.6)
+    box_max = np.maximum(xyz.max(0), 1e-3)
+
+    sstate = shard.init_sharded_state(CFG, mesh, np.zeros(3, np.float32), box_max)
+    step = shard.build_sharded_step(CFG, mesh, W, H)
+
+    c = cam.Camera(width=W, height=H)
+    orbit = cam.OrbitControls()
+    orbit.focus_box([0, 0, 0], box_max)
+    c.world = orbit.world()
+    u = Uniforms.make(W, H, c.transform(),
+                      settings=Settings(min_node_size=8.0, enable_edl=False))
+
+    B = CFG.step_points
+    total = 0
+    for s in range(0, len(xyz), B):
+        chunk, cols = xyz[s:s + B], rgba[s:s + B]
+        cx = np.zeros((B, 3), np.float32); cx[:len(chunk)] = chunk
+        cc = np.zeros((B,), np.uint32); cc[:len(chunk)] = cols
+        sstate, img, counts = step(sstate, jnp.asarray(cx), jnp.asarray(cc),
+                                   jnp.int32(len(chunk)), u)
+        total += int(np.asarray(counts).sum())
+    assert total == 20_000  # routing partitions the batch exactly
+
+    # every device stored only its own points; sum matches
+    per_dev_pts = np.asarray(
+        jax.jit(lambda s: jnp.sum(jnp.where(s.child_base < 0, s.num_points, 0),
+                                  axis=1))(sstate))
+    assert per_dev_pts.sum() == 20_000
+    assert (per_dev_pts > 0).sum() >= 2  # actually distributed
+
+    img = np.asarray(img)
+    assert (img != C.BACKGROUND_COLOR).any()
+
+    # compare against a single-chip render of the same data (union tree is
+    # LOD-equivalent, not identical; check coverage overlap is high)
+    state1 = init_state(CFG, np.zeros(3, np.float32), box_max)
+    for s in range(0, len(xyz), B):
+        chunk, cols = xyz[s:s + B], rgba[s:s + B]
+        cx = np.zeros((B, 3), np.float32); cx[:len(chunk)] = chunk
+        cc = np.zeros((B,), np.uint32); cc[:len(chunk)] = cols
+        state1 = build.build_step(CFG, state1, jnp.asarray(cx), jnp.asarray(cc),
+                                  jnp.int32(len(chunk)))
+    state1 = build.compact_voxels(CFG, state1)
+    img1, _ = render_frame(CFG, state1, W, H, u)
+    img1 = np.asarray(img1)
+    cov_sharded = (img != C.BACKGROUND_COLOR)
+    cov_single = (img1 != C.BACKGROUND_COLOR)
+    inter = (cov_sharded & cov_single).sum()
+    union = (cov_sharded | cov_single).sum()
+    assert inter / max(union, 1) > 0.8  # same silhouette
+
+
+def test_brick_owner_partition(rng):
+    q = rng.integers(0, C.FULL_GRID_SIZE, size=(1000, 3), dtype=np.int64)
+    owner = np.asarray(shard._brick_owner(
+        jnp.asarray(q[:, 0], jnp.int32), jnp.asarray(q[:, 1], jnp.int32),
+        jnp.asarray(q[:, 2], jnp.int32), level=1, n_devices=8))
+    # owner = top-level octant for 8 devices
+    shift = C.FULL_GRID_BITS - 1
+    expect = (((q[:, 0] >> shift) & 1) << 2) | (((q[:, 1] >> shift) & 1) << 1) \
+        | ((q[:, 2] >> shift) & 1)
+    np.testing.assert_array_equal(owner, expect)
