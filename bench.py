@@ -56,12 +56,21 @@ def main() -> int:
         cc[: hi - lo] = rgba[lo:hi]
         batches.append((cx, cc, hi - lo))
 
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    log(f"platform={platform} points={N_POINTS} step={cfg.step_points}")
     # --- warm up (compile) on a throwaway state ---
+    t_c = time.perf_counter()
     state = init_state(cfg, np.zeros(3, np.float32), box_max)
     state = build.build_step(cfg, state, jnp.asarray(batches[0][0]),
                              jnp.asarray(batches[0][1]), jnp.int32(batches[0][2]))
+    _ = int(state.num_nodes)
+    log(f"build_step compiled in {time.perf_counter()-t_c:.0f}s")
+    t_c = time.perf_counter()
     state = build.compact_voxels(cfg, state)
-    jax.block_until_ready(state.num_nodes)
+    _ = int(state.num_nodes)
+    log(f"compact_voxels compiled in {time.perf_counter()-t_c:.0f}s")
 
     # --- timed build (device_put overlap like the streaming pipeline) ---
     state = init_state(cfg, np.zeros(3, np.float32), box_max)
@@ -75,6 +84,7 @@ def main() -> int:
     num_nodes = int(state.num_nodes)  # forces completion
     t_build = time.perf_counter() - t0
     mps = N_POINTS / t_build / 1e6
+    log(f"build: {t_build:.2f}s = {mps:.1f} MP/s, nodes={num_nodes}")
 
     # --- timed 1080p render ---
     c = cam.Camera(width=WIDTH, height=HEIGHT)
@@ -82,8 +92,10 @@ def main() -> int:
     orbit.focus_box(np.zeros(3), box_max)
     c.world = orbit.world()
     u = Uniforms.make(WIDTH, HEIGHT, c.transform(), settings=Settings())
+    t_c = time.perf_counter()
     img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u)  # compile
     jax.block_until_ready(img)
+    log(f"render compiled in {time.perf_counter()-t_c:.0f}s")
     t0 = time.perf_counter()
     n_frames = 5
     for _ in range(n_frames):

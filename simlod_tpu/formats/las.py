@@ -67,9 +67,17 @@ def decode_points(hdr: LasHeader, raw: np.ndarray, translation: np.ndarray):
     `translation` is added to the scaled coordinates (the engine passes -box_min so
     coordinates are rebased to the origin, like the reference's loadLasNative
     translation parameter, LasLoader.cpp:208-215).
+
+    Uses the native single-pass decoder (simlod_tpu/native) when built; the numpy
+    path below is the always-available fallback with identical output.
     """
     bpp = hdr.bytes_per_point
     n = len(raw) // bpp
+    from .. import native
+    if native.available():
+        return native.decode_las(raw, n, bpp, RGB_OFFSET.get(hdr.format, -1),
+                                 hdr.scale, hdr.offset,
+                                 np.asarray(translation, np.float64))
     rec = raw[:n * bpp].reshape(n, bpp)
     xyz_i = np.frombuffer(np.ascontiguousarray(rec[:, :12]).tobytes(),
                           dtype="<i4").reshape(n, 3)
