@@ -24,6 +24,8 @@ BASELINE_MPS = 400.0
 def main() -> int:
     import jax
     import jax.numpy as jnp
+    from simlod_tpu.utils import cache as _cache
+    _cache.enable()
     from simlod_tpu.config import EngineConfig, Settings, Uniforms
     from simlod_tpu.formats import synthetic
     from simlod_tpu.octree import build
@@ -68,7 +70,7 @@ def main() -> int:
     _ = int(state.num_nodes)
     log(f"build_step compiled in {time.perf_counter()-t_c:.0f}s")
     t_c = time.perf_counter()
-    state = build.compact_voxels(cfg, state)
+    state = build.compact_voxels_auto(cfg, state)
     _ = int(state.num_nodes)
     log(f"compact_voxels compiled in {time.perf_counter()-t_c:.0f}s")
 
@@ -80,7 +82,7 @@ def main() -> int:
         xd = jax.device_put(cx)
         cd = jax.device_put(cc)
         state = build.build_step(cfg, state, xd, cd, jnp.int32(n))
-    state = build.compact_voxels(cfg, state)
+    state = build.compact_voxels_auto(cfg, state)
     num_nodes = int(state.num_nodes)  # forces completion
     t_build = time.perf_counter() - t0
     mps = N_POINTS / t_build / 1e6

@@ -69,6 +69,8 @@ def build_engine(args) -> Engine:
 
 
 def main(argv=None) -> int:
+    from .utils import cache as _cache
+    _cache.enable()
     args = parse_args(argv)
     eng = build_engine(args)
 

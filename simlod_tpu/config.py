@@ -45,6 +45,8 @@ class EngineConfig:
     max_splits_per_round: int = 1024      # split nodes processed per split-loop round
                                           # (reference: 100k spillingNodes scratch, :843)
     seg_select_cap: int = 32768           # segments subdivided per split-loop round
+    run_window: int = 1 << 17             # per-step leaf-run window (distinct leaves
+                                          # touched per step; overflow sets the flag)
     split_rounds: int = 24                # max split-loop rounds per step (reference caps
                                           # expand() at 20 iterations, voxels.cu:394)
 
@@ -63,7 +65,7 @@ class EngineConfig:
     # candidate per point per ancestor level (max_depth+1); after in-batch first-in-cell
     # dedup a small factor suffices for real data. Overflow drops tail candidates and
     # raises mem_capacity_reached.
-    candidate_factor: int = 6
+    candidate_factor: int = 4
 
     # Voxel-store lazy-dedup compaction threshold: compact when the store holds more than
     # (1 + slack) x the entries present after the previous compaction.

@@ -101,6 +101,8 @@ class Engine:
 
     def __init__(self, cfg: EngineConfig | None = None,
                  settings: Settings | None = None, device=None):
+        from .utils import cache as _cache
+        _cache.enable()
         self.cfg = cfg or EngineConfig()
         self.settings = settings or Settings()
         self.device = device
@@ -169,7 +171,7 @@ class Engine:
                             * (1.0 + self.cfg.voxel_compact_slack)),
                         self.cfg.step_points)
         if force or used > threshold:
-            self.state = build.compact_voxels(self.cfg, self.state)
+            self.state = build.compact_voxels_auto(self.cfg, self.state)
             self._last_compacted = int(self.state.vox_used)
             # opportunistic directory hygiene
             if int(self.state.num_segments) > self.cfg.segment_capacity // 2:

@@ -40,6 +40,7 @@ from ..config import EngineConfig
 from ..ops import morton
 from ..ops.segments import (carry_last, compact_mask_via_sort, exclusive_cumsum,
                             expand_segments, popcount32, run_reduce_sum, run_starts)
+from ..ops.fastops import gather1d
 from .structures import OctreeState
 
 I32_MAX = jnp.iinfo(jnp.int32).max
@@ -234,8 +235,9 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
     s_cap = state.seg_node.shape[0]
     just = jnp.zeros((n_cap,), jnp.bool_).at[
         jnp.where(tv, tsafe, n_cap)].set(True, mode="drop")
-    s_sel = (state.seg_cnt > 0) & (state.seg_node >= 0) & \
-        just[jnp.clip(state.seg_node, 0, n_cap - 1)]
+    seg_node_col = state.seg_data[:, 0]
+    s_sel = (state.seg_data[:, 2] > 0) & (seg_node_col >= 0) & \
+        gather1d(just.astype(jnp.int32), jnp.clip(seg_node_col, 0, n_cap - 1)).astype(bool)
     sr = jnp.cumsum(s_sel.astype(jnp.int32)) - 1
     SS = cfg.seg_select_cap  # selected-segment window (selection respects this budget)
     sel = jnp.full((SS,), -1, jnp.int32).at[
@@ -244,17 +246,19 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
     state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(s_sel & (sr >= SS))
     sv = sel >= 0
     ssafe = jnp.maximum(sel, 0)
-    scnt = jnp.where(sv, state.seg_cnt[ssafe], 0)
-    soff = state.seg_off[ssafe]
-    snode = jnp.where(sv, state.seg_node[ssafe], 0)
+    srows = state.seg_data[ssafe]                  # [SS,3] one row gather
+    scnt = jnp.where(sv, srows[:, 2], 0)
+    soff = srows[:, 1]
+    snode = jnp.where(sv, srows[:, 0], 0)
     snlvl = state.level[snode]
 
     SPW = cfg.spill_capacity
     segrow, elem, rvalid, _tot = expand_segments(scnt, SPW)
-    p_cap = state.pt_xyz.shape[0]
+    p_cap = state.pt_data.shape[0]
     pidx = jnp.where(rvalid, soff[segrow] + elem, p_cap - 1)
-    gxyz = state.pt_xyz[pidx]
-    gc = state.pt_rgba[pidx]
+    grows = state.pt_data[pidx]                    # [SPW,4] one row gather
+    gxyz = grows[:, :3]
+    gc = jax.lax.bitcast_convert_type(grows[:, 3], jnp.uint32)
     gnode = snode[segrow]
     glvl = snlvl[segrow]
     gq = morton.quantize(gxyz, state.box_min, state.cube_size)
@@ -280,9 +284,8 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
     npos = state.num_segments + brank
     fit = srun & (npos < s_cap)
     widx = jnp.where(fit, npos, s_cap)
-    state.seg_node = state.seg_node.at[widx].set(child_of_row, mode="drop")
-    state.seg_off = state.seg_off.at[widx].set(soff[segrow] + elem, mode="drop")
-    state.seg_cnt = state.seg_cnt.at[widx].set(runlen, mode="drop")
+    state.seg_data = state.seg_data.at[widx].set(
+        jnp.stack([child_of_row, soff[segrow] + elem, runlen], axis=-1), mode="drop")
     n_runs = jnp.sum(fit.astype(jnp.int32))
     state.num_segments = state.num_segments + n_runs
     state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(srun & ~fit)
@@ -295,7 +298,8 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
         jnp.where(fit, 1, 0), mode="drop")
 
     # kill the split nodes' old segments; zero their stored-point counts
-    state.seg_cnt = state.seg_cnt.at[jnp.where(sv, ssafe, s_cap)].set(0, mode="drop")
+    state.seg_data = state.seg_data.at[
+        jnp.where(sv, ssafe, s_cap), 2].set(0, mode="drop")
     state.num_points = state.num_points.at[
         jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
     state.node_seg_count = state.node_seg_count.at[
@@ -303,8 +307,8 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
 
     # --- re-route batch rows whose leaf just split (one level down) ---
     lsafe = jnp.clip(work.leaf, 0, n_cap - 1)
-    aff = valid & just[lsafe]
-    cb = state.child_base[lsafe]
+    aff = valid & gather1d(just.astype(jnp.int32), lsafe).astype(bool)
+    cb = gather1d(state.child_base, lsafe)
     new_leaf = jnp.where(
         aff, cb + morton.octant_at_level(work.qx, work.qy, work.qz, work.lvl),
         work.leaf)
@@ -339,6 +343,9 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     Equivalent to the reference's voxelSampling() descent with per-node occupancy
     bitmasks (voxels.cu:417-484): sampled levels are 0..leaf_level-1, plus level 0 when
     the root is still a leaf (the root owns a sampling grid from reset, reset.cu:69).
+
+    All per-candidate source lookups ride ONE packed row gather ([B,8] table), since
+    row gathers cost the same as element gathers per row on this hardware.
     """
     B = work.leaf.shape[0]
     valid = jnp.arange(B, dtype=jnp.int32) < work.count
@@ -361,12 +368,23 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     drop_tail = total > CC  # overflow: tail candidates dropped (voxels appear later)
     src_mark = jnp.full((CC,), -1, jnp.int32).at[
         jnp.where(cnt > 0, jnp.minimum(offs, CC), CC)].max(rowi, mode="drop")
-    src = jnp.maximum(carry_last(src_mark), 0)
+    carried = carry_last(src_mark)
+    src = jnp.maximum(carried, 0)
     j = jnp.arange(CC, dtype=jnp.int32)
-    jvalid = (j < jnp.minimum(total, CC)) & (carry_last(src_mark) >= 0)
-    k = j - offs[src]
+    jvalid = (j < jnp.minimum(total, CC)) & (carried >= 0)
 
-    bm = bitmask[src]
+    # one row gather for all source columns: qx,qy,qz,leaf,rgba,bitmask,offs
+    table = jnp.stack([
+        work.qx, work.qy, work.qz, work.leaf,
+        jax.lax.bitcast_convert_type(work.rgba, jnp.int32).astype(jnp.int32),
+        bitmask.astype(jnp.int32), offs, cnt], axis=-1)
+    srow = table[src]
+    sqx, sqy, sqz = srow[:, 0], srow[:, 1], srow[:, 2]
+    sleaf = srow[:, 3]
+    color = jax.lax.bitcast_convert_type(srow[:, 4], jnp.uint32)
+    bm = srow[:, 5].astype(jnp.uint32)
+    k = j - srow[:, 6]
+
     lvl_out = jnp.zeros((CC,), jnp.int32)
     cum = jnp.zeros((CC,), jnp.int32)
     for l in range(C.MAX_DEPTH + 1):
@@ -375,11 +393,9 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
         lvl_out = jnp.where(hit, l, lvl_out)
         cum = cum + bit
 
-    sqx, sqy, sqz = work.qx[src], work.qy[src], work.qz[src]
     cell = morton.cell_at_level(sqx, sqy, sqz, lvl_out)
     anc_flat = state.anc.reshape(-1)
-    node = anc_flat[work.leaf[src] * (C.MAX_DEPTH + 1) + lvl_out]
-    color = work.rgba[src]
+    node = gather1d(anc_flat, sleaf * (C.MAX_DEPTH + 1) + lvl_out)
     state = _append_voxels(state, node, cell, color, jvalid)
     state.mem_capacity_reached = state.mem_capacity_reached | drop_tail
     return state
@@ -390,11 +406,13 @@ def insert_points(cfg: EngineConfig, state: OctreeState, work: Work):
 
     Replaces the reference's allocatePointChunks()+insertPoints() chunk walking
     (voxels.cu:485-640) with one contiguous pool write (the batch is Morton-sorted, so
-    each leaf's contribution is a contiguous run = one segment).
+    each leaf's contribution is a contiguous run = one segment). Segment-directory and
+    per-leaf count updates compact the (few) run-start rows into a small window first —
+    a full-width masked scatter costs like the full width on TPU.
     """
     B = work.leaf.shape[0]
     n_cap = state.child_base.shape[0]
-    s_cap = state.seg_node.shape[0]
+    s_cap = state.seg_data.shape[0]
     rowi = jnp.arange(B, dtype=jnp.int32)
 
     room = jnp.maximum(cfg.point_capacity - state.pool_used, 0)
@@ -405,29 +423,37 @@ def insert_points(cfg: EngineConfig, state: OctreeState, work: Work):
 
     # pool append (one dynamic-update-slice; rows past new_count are garbage beyond
     # the watermark and are overwritten by later appends)
-    xyz = jnp.stack([work.x, work.y, work.z], axis=-1)
-    state.pt_xyz = jax.lax.dynamic_update_slice(
-        state.pt_xyz, xyz, (state.pool_used, 0))
-    state.pt_rgba = jax.lax.dynamic_update_slice(
-        state.pt_rgba, work.rgba, (state.pool_used,))
+    rows = jnp.stack([work.x, work.y, work.z,
+                      jax.lax.bitcast_convert_type(work.rgba, jnp.float32)], axis=-1)
+    state.pt_data = jax.lax.dynamic_update_slice(
+        state.pt_data, rows, (state.pool_used, 0))
 
-    # segments: one per leaf run
+    # segments: one per leaf run; compact run-start rows to a small window
     starts = run_starts(work.leaf, valid)
     sums = run_reduce_sum(jnp.ones((B,), jnp.int32), starts, valid)
-    brank = jnp.cumsum(starts.astype(jnp.int32)) - 1
-    pos = state.num_segments + brank
-    fit = starts & (pos < s_cap)
-    widx = jnp.where(fit, pos, s_cap)
-    state.seg_node = state.seg_node.at[widx].set(work.leaf, mode="drop")
-    state.seg_off = state.seg_off.at[widx].set(state.pool_used + rowi, mode="drop")
-    state.seg_cnt = state.seg_cnt.at[widx].set(sums, mode="drop")
+    RW = cfg.run_window
+    srank = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    n_runs_total = jnp.sum(starts.astype(jnp.int32))
+    widx = jnp.where(starts & (srank < RW), srank, RW)
+    r_leaf = jnp.zeros((RW,), jnp.int32).at[widx].set(work.leaf, mode="drop")
+    r_off = jnp.zeros((RW,), jnp.int32).at[widx].set(
+        state.pool_used + rowi, mode="drop")
+    r_cnt = jnp.zeros((RW,), jnp.int32).at[widx].set(sums, mode="drop")
+    rvalid = jnp.arange(RW, dtype=jnp.int32) < n_runs_total
+    state.mem_capacity_reached = state.mem_capacity_reached | (n_runs_total > RW)
+
+    pos = state.num_segments + jnp.arange(RW, dtype=jnp.int32)
+    fit = rvalid & (pos < s_cap)
+    sidx = jnp.where(fit, pos, s_cap)
+    state.seg_data = state.seg_data.at[sidx].set(
+        jnp.stack([r_leaf, r_off, r_cnt], axis=-1), mode="drop")
     n_segs = jnp.sum(fit.astype(jnp.int32))
     state.num_segments = state.num_segments + n_segs
-    state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(starts & ~fit)
+    state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(rvalid & ~fit)
 
-    # per-leaf bookkeeping (persist the batch's counts)
-    addi = jnp.where(fit, work.leaf, n_cap)
-    addv = jnp.where(fit, sums, 0)
+    # per-leaf bookkeeping from the compacted run window
+    addi = jnp.where(fit, r_leaf, n_cap)
+    addv = jnp.where(fit, r_cnt, 0)
     state.num_points = state.num_points.at[addi].add(addv, mode="drop")
     state.counter = state.counter.at[addi].add(addv, mode="drop")
     state.node_seg_count = state.node_seg_count.at[addi].add(
@@ -507,6 +533,52 @@ def compact_segments_impl(cfg: EngineConfig, state: OctreeState) -> OctreeState:
     state.seg_cnt = jnp.where(keep, c, 0)
     state.num_segments = n_alive
     return state
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2), donate_argnums=1)
+def _compact_voxels_window(cfg: EngineConfig, state: OctreeState, w: int):
+    """Windowed compaction: sort/dedup only the first `w` rows (w >= vox_used).
+
+    The full store capacity can be 10-50x the live size; sorting only a power-of-two
+    window around the watermark keeps compaction cost proportional to actual content.
+    """
+    n_cap = state.child_base.shape[0]
+    rows = jnp.arange(w, dtype=jnp.int32)
+    valid = rows < state.vox_used
+    nkey = jnp.where(valid, state.vox_node[:w], jnp.int32(I32_MAX))
+    snode, scell, srgba = jax.lax.sort(
+        (nkey, state.vox_cell[:w], state.vox_rgba[:w]), num_keys=2, is_stable=True)
+    uniq = valid & ((snode != jnp.roll(snode, 1)) | (scell != jnp.roll(scell, 1))
+                    | (rows == 0))
+    (cnode, ccell, crgba), n_uniq = compact_mask_via_sort(uniq, (snode, scell, srgba))
+    cvalid = rows < n_uniq
+    cnode = jnp.where(cvalid, cnode, 0)
+    state.vox_node = jax.lax.dynamic_update_slice(state.vox_node, cnode, (0,))
+    state.vox_cell = jax.lax.dynamic_update_slice(
+        state.vox_cell, jnp.where(cvalid, ccell, 0), (0,))
+    state.vox_rgba = jax.lax.dynamic_update_slice(
+        state.vox_rgba, jnp.where(cvalid, crgba, jnp.uint32(0)), (0,))
+    state.vox_used = n_uniq
+    state.vox_compacted = n_uniq
+
+    nstart = run_starts(cnode, cvalid)
+    csum = run_reduce_sum(jnp.ones((w,), jnp.int32), nstart, cvalid)
+    counts = jnp.zeros((n_cap + 1,), jnp.int32).at[
+        jnp.where(nstart & cvalid, cnode, n_cap + 1)].set(csum, mode="drop")
+    state.num_voxels = counts[:n_cap]
+    state.vox_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts[:n_cap])])
+    return state
+
+
+def compact_voxels_auto(cfg: EngineConfig, state: OctreeState) -> OctreeState:
+    """Host-driven compaction sized to the live store (power-of-two window buckets,
+    so at most log2 variants ever compile)."""
+    used = int(state.vox_used)
+    v_cap = state.vox_node.shape[0]
+    w = 1 << max(10, (max(used, 1) - 1).bit_length())
+    w = min(w, v_cap)
+    return _compact_voxels_window(cfg, state, w)
 
 
 compact_voxels = functools.partial(jax.jit, static_argnums=0,

@@ -24,9 +24,10 @@ def node_table(state: OctreeState) -> dict:
     n = int(s["num_nodes"])
     table = {}
     # per-node stored points via live segments
-    seg_n = s["seg_node"][: int(s["num_segments"])]
-    seg_o = s["seg_off"][: int(s["num_segments"])]
-    seg_c = s["seg_cnt"][: int(s["num_segments"])]
+    nseg = int(s["num_segments"])
+    seg_n = s["seg_data"][:nseg, 0]
+    seg_o = s["seg_data"][:nseg, 1]
+    seg_c = s["seg_data"][:nseg, 2]
     pts_by_node: dict[int, list] = {}
     for sn, so, sc in zip(seg_n, seg_o, seg_c):
         if sc > 0 and sn >= 0:
@@ -49,8 +50,9 @@ def node_table(state: OctreeState) -> dict:
             counter=int(s["counter"][i]),
             num_points=int(s["num_points"][i]),
             num_voxels=int(s["num_voxels"][i]),
-            points_xyz=s["pt_xyz"][idx],
-            points_rgba=s["pt_rgba"][idx],
+            points_xyz=s["pt_data"][idx, :3],
+            points_rgba=s["pt_data"][idx, 3].view(np.uint32)
+            if len(idx) else np.zeros((0,), np.uint32),
             voxels=vox_by_node.get(i, {}),
         )
     return table

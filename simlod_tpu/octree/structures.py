@@ -56,16 +56,13 @@ class OctreeState:
     anc: jax.Array             # i32 [node_capacity, MAX_DEPTH+1] ancestor table
     num_nodes: jax.Array       # i32 scalar watermark
 
-    # --- point pool ---
-    pt_xyz: jax.Array          # f32 [point_capacity + pad, 3]
-    pt_rgba: jax.Array         # u32 [point_capacity + pad]
+    # --- point pool (row-packed: one row gather fetches a whole point) ---
+    pt_data: jax.Array         # f32 [point_capacity + pad, 4]: x, y, z, rgba-bits
     pool_used: jax.Array       # i32 scalar watermark
     pool_waste: jax.Array      # i32 scalar: dead (respilled) entries awaiting defrag
 
-    # --- segment directory ---
-    seg_node: jax.Array        # i32 [segment_capacity]; -1 = never used
-    seg_off: jax.Array         # i32
-    seg_cnt: jax.Array         # i32; 0 = dead
+    # --- segment directory (row-packed: node, offset, count) ---
+    seg_data: jax.Array        # i32 [segment_capacity, 3]; node -1 = never used
     num_segments: jax.Array    # i32 scalar watermark
 
     # --- voxel store ---
@@ -84,6 +81,29 @@ class OctreeState:
     num_points_processed: jax.Array  # i32
     num_points_dropped: jax.Array    # i32
     mem_capacity_reached: jax.Array  # bool
+
+
+    # read-only convenience views (writers use the packed layouts directly)
+    @property
+    def pt_xyz(self) -> jax.Array:
+        return self.pt_data[:, :3]
+
+    @property
+    def pt_rgba(self) -> jax.Array:
+        import jax as _jax
+        return _jax.lax.bitcast_convert_type(self.pt_data[:, 3], jnp.uint32)
+
+    @property
+    def seg_node(self) -> jax.Array:
+        return self.seg_data[:, 0]
+
+    @property
+    def seg_off(self) -> jax.Array:
+        return self.seg_data[:, 1]
+
+    @property
+    def seg_cnt(self) -> jax.Array:
+        return self.seg_data[:, 2]
 
 
 def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
@@ -114,12 +134,11 @@ def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
         node_seg_count=zeros_n(),
         anc=anc,
         num_nodes=jnp.asarray(1, i32),
-        pt_xyz=jnp.zeros((p_cap, 3), jnp.float32),
-        pt_rgba=jnp.zeros((p_cap,), jnp.uint32),
+        pt_data=jnp.zeros((p_cap, 4), jnp.float32),
         pool_used=jnp.asarray(0, i32), pool_waste=jnp.asarray(0, i32),
-        seg_node=jnp.full((cfg.segment_capacity,), -1, i32),
-        seg_off=jnp.zeros((cfg.segment_capacity,), i32),
-        seg_cnt=jnp.zeros((cfg.segment_capacity,), i32),
+        seg_data=jnp.concatenate(
+            [jnp.full((cfg.segment_capacity, 1), -1, i32),
+             jnp.zeros((cfg.segment_capacity, 2), i32)], axis=1),
         num_segments=jnp.asarray(0, i32),
         vox_node=jnp.zeros((v_cap,), i32),
         vox_cell=jnp.zeros((v_cap,), i32),

@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .fastops import gather1d
+
 
 def exclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     c = jnp.cumsum(x)
@@ -61,7 +63,7 @@ def expand_segments(sel_counts: jnp.ndarray, out_len: int):
     j = jnp.arange(out_len, dtype=jnp.int32)
     row_valid = (j < total) & (seg_of_row >= 0)
     safe_seg = jnp.maximum(seg_of_row, 0)
-    elem_of_row = j - offs[safe_seg]
+    elem_of_row = j - gather1d(offs, safe_seg)
     return safe_seg, elem_of_row, row_valid, total
 
 

@@ -29,6 +29,7 @@ from .. import constants as C
 from ..config import EngineConfig, Uniforms
 from ..octree.structures import OctreeState
 from ..ops import morton
+from ..ops.fastops import gather1d
 from ..ops.segments import expand_segments
 
 DEPTH_INF = jnp.int32(C.DEPTH_INF_BITS)
@@ -47,16 +48,20 @@ def gather_point_samples(cfg: EngineConfig, state: OctreeState,
                          emitted: jax.Array) -> Samples:
     """Expand the live segments of emitted nodes into a dense sample window."""
     n_cap = state.child_base.shape[0]
-    sn = state.seg_node
-    ok = (state.seg_cnt > 0) & (sn >= 0) & emitted[jnp.clip(sn, 0, n_cap - 1)]
-    counts = jnp.where(ok, state.seg_cnt, 0)
+    sn = state.seg_data[:, 0]
+    ok = (state.seg_data[:, 2] > 0) & (sn >= 0) & gather1d(
+        emitted.astype(jnp.int32), jnp.clip(sn, 0, n_cap - 1)).astype(bool)
+    counts = jnp.where(ok, state.seg_data[:, 2], 0)
     seg_of, elem, valid, total = expand_segments(counts, cfg.max_render_points)
-    p_cap = state.pt_xyz.shape[0]
-    idx = jnp.where(valid, state.seg_off[seg_of] + elem, p_cap - 1)
-    node = jnp.where(valid, sn[seg_of], 0)
+    p_cap = state.pt_data.shape[0]
+    srow = state.seg_data[seg_of]                      # [W,3] one row gather
+    idx = jnp.where(valid, srow[:, 1] + elem, p_cap - 1)
+    node = jnp.where(valid, srow[:, 0], 0)
+    prow = state.pt_data[idx]                          # [W,4] one row gather
     return Samples(
-        xyz=state.pt_xyz[idx], rgba=state.pt_rgba[idx],
-        node=node, level=state.level[node], valid=valid,
+        xyz=prow[:, :3],
+        rgba=jax.lax.bitcast_convert_type(prow[:, 3], jnp.uint32),
+        node=node, level=gather1d(state.level, node), valid=valid,
         count=jnp.minimum(total, cfg.max_render_points))
 
 
@@ -68,15 +73,17 @@ def gather_voxel_samples(cfg: EngineConfig, state: OctreeState,
     counts = jnp.where(emitted, state.vox_off[1:] - state.vox_off[:-1], 0)
     node_of, elem, valid, total = expand_segments(counts, cfg.max_render_voxels)
     v_cap = state.vox_node.shape[0]
-    idx = jnp.where(valid, state.vox_off[:-1][node_of] + elem, v_cap - 1)
-    cell = state.vox_cell[idx]
-    rgba = state.vox_rgba[idx]
+    idx = jnp.where(valid, gather1d(state.vox_off[:-1], node_of) + elem, v_cap - 1)
+    cell = gather1d(state.vox_cell, idx)
+    rgba = gather1d(state.vox_rgba, idx)
     node = jnp.where(valid, node_of, 0)
-    lvl = state.level[node]
+    # one packed row gather for level + coords
+    ntab = jnp.stack([state.level, state.nx, state.ny, state.nz], axis=-1)
+    nrow = ntab[node]
+    lvl = nrow[:, 0]
     size = state.cube_size / jnp.exp2(lvl.astype(jnp.float32))
     cxyz = jnp.stack(morton.cell_to_xyz(cell), -1).astype(jnp.float32)
-    nmin = state.box_min[None, :] + size[:, None] * jnp.stack(
-        [state.nx[node], state.ny[node], state.nz[node]], -1).astype(jnp.float32)
+    nmin = state.box_min[None, :] + size[:, None] * nrow[:, 1:4].astype(jnp.float32)
     xyz = nmin + size[:, None] * (cxyz + 0.5) / C.GRID_SIZE
     return Samples(xyz=xyz, rgba=rgba, node=node, level=lvl, valid=valid,
                    count=jnp.minimum(total, cfg.max_render_voxels))
@@ -152,37 +159,39 @@ def rasterize(cfg: EngineConfig, uniforms: Uniforms, width: int, height: int,
             fbd = fbd.at[jnp.where(use, pix, npx)].min(dbits, mode="drop")
     fbd_f = jax.lax.bitcast_convert_type(fbd, jnp.float32)
 
-    # pass 2a: high-quality shading accumulation (render.cu:487-493)
-    acc = jnp.zeros((npx, 4), jnp.uint32)
-    for (x, y, dbits, d, color, ok) in projected:
-        for pix, use in _splat_pixels(x, y, ok, uniforms, width, height,
+    def hq_pass(fbd):
+        fbd_f2 = jax.lax.bitcast_convert_type(fbd, jnp.float32)
+        acc = jnp.zeros((npx, 4), jnp.uint32)
+        for (x, y, dbits, d, color, ok) in projected:
+            for pix, use in _splat_pixels(x, y, ok, uniforms, width, height,
                                           cfg.max_point_size):
-            accept = use & (d < fbd_f[jnp.clip(pix, 0, npx - 1)] * 1.01)
-            i = jnp.where(accept, pix, npx)
-            rgb1 = jnp.stack([color & 0xFF, (color >> 8) & 0xFF,
-                              (color >> 16) & 0xFF,
-                              jnp.ones_like(color)], -1)
-            acc = acc.at[i].add(rgb1, mode="drop")
-    cnt = acc[:, 3]
-    hq_color = jnp.where(
-        cnt > 0,
-        (acc[:, 0] // jnp.maximum(cnt, 1))
-        | ((acc[:, 1] // jnp.maximum(cnt, 1)) << 8)
-        | ((acc[:, 2] // jnp.maximum(cnt, 1)) << 16)
-        | jnp.uint32(0xFF000000),
-        jnp.uint32(C.BACKGROUND_COLOR))
+                accept = use & (d < gather1d(fbd_f2, jnp.clip(pix, 0, npx - 1))
+                                * 1.01)
+                i = jnp.where(accept, pix, npx)
+                rgb1 = jnp.stack([color & 0xFF, (color >> 8) & 0xFF,
+                                  (color >> 16) & 0xFF,
+                                  jnp.ones_like(color)], -1)
+                acc = acc.at[i].add(rgb1, mode="drop")
+        cnt = acc[:, 3]
+        return jnp.where(
+            cnt > 0,
+            (acc[:, 0] // jnp.maximum(cnt, 1))
+            | ((acc[:, 1] // jnp.maximum(cnt, 1)) << 8)
+            | ((acc[:, 2] // jnp.maximum(cnt, 1)) << 16)
+            | jnp.uint32(0xFF000000),
+            jnp.uint32(C.BACKGROUND_COLOR))
 
-    # pass 2b: plain closest-sample color (u64 atomicMin equivalent incl. tiebreak)
-    cmin = jnp.full((npx,), jnp.uint32(0xFFFFFFFF))
-    for (x, y, dbits, d, color, ok) in projected:
-        for pix, use in _splat_pixels(x, y, ok, uniforms, width, height,
+    def plain_pass(fbd):
+        cmin = jnp.full((npx,), jnp.uint32(0xFFFFFFFF))
+        for (x, y, dbits, d, color, ok) in projected:
+            for pix, use in _splat_pixels(x, y, ok, uniforms, width, height,
                                           cfg.max_point_size):
-            eq = use & (dbits == fbd[jnp.clip(pix, 0, npx - 1)])
-            cmin = cmin.at[jnp.where(eq, pix, npx)].min(color, mode="drop")
-    covered = fbd < DEPTH_INF
-    plain_color = jnp.where(covered, cmin, jnp.uint32(C.BACKGROUND_COLOR))
+                eq = use & (dbits == gather1d(fbd, jnp.clip(pix, 0, npx - 1)))
+                cmin = cmin.at[jnp.where(eq, pix, npx)].min(color, mode="drop")
+        covered = fbd < DEPTH_INF
+        return jnp.where(covered, cmin, jnp.uint32(C.BACKGROUND_COLOR))
 
-    color = jnp.where(uniforms.use_high_quality_shading, hq_color, plain_color)
+    color = jax.lax.cond(uniforms.use_high_quality_shading, hq_pass, plain_pass, fbd)
     return color, fbd
 
 

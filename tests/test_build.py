@@ -11,6 +11,7 @@ from simlod_tpu.octree.structures import init_state
 from simlod_tpu.reference_impl import RefOctree
 
 CFG = EngineConfig(
+    candidate_factor=21,
     node_capacity=1 << 12,
     point_capacity=1 << 16,
     voxel_capacity=1 << 18,
