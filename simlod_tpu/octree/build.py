@@ -232,83 +232,94 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
     state.num_nodes = state.num_nodes + 8 * n_take
 
     # --- gather stored points of split nodes (voxel sampling + sub-segmenting) ---
-    s_cap = state.seg_node.shape[0]
+    # Cascade rounds split freshly created children that hold no stored points; the
+    # whole spill pipeline (segment scan, ragged gather, candidate sampling, directory
+    # surgery) is skipped under a cond in that common case.
+    total_spill = jnp.sum(jnp.where(take, state.num_points, 0))
+
     just = jnp.zeros((n_cap,), jnp.bool_).at[
         jnp.where(tv, tsafe, n_cap)].set(True, mode="drop")
-    seg_node_col = state.seg_data[:, 0]
-    s_sel = (state.seg_data[:, 2] > 0) & (seg_node_col >= 0) & \
-        gather1d(just.astype(jnp.int32), jnp.clip(seg_node_col, 0, n_cap - 1)).astype(bool)
-    sr = jnp.cumsum(s_sel.astype(jnp.int32)) - 1
-    SS = cfg.seg_select_cap  # selected-segment window (selection respects this budget)
-    sel = jnp.full((SS,), -1, jnp.int32).at[
-        jnp.where(s_sel & (sr < SS), sr, SS)].set(
-            jnp.arange(s_cap, dtype=jnp.int32), mode="drop")
-    state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(s_sel & (sr >= SS))
-    sv = sel >= 0
-    ssafe = jnp.maximum(sel, 0)
-    srows = state.seg_data[ssafe]                  # [SS,3] one row gather
-    scnt = jnp.where(sv, srows[:, 2], 0)
-    soff = srows[:, 1]
-    snode = jnp.where(sv, srows[:, 0], 0)
-    snlvl = state.level[snode]
 
-    SPW = cfg.spill_capacity
-    segrow, elem, rvalid, _tot = expand_segments(scnt, SPW)
-    p_cap = state.pt_data.shape[0]
-    pidx = jnp.where(rvalid, soff[segrow] + elem, p_cap - 1)
-    grows = state.pt_data[pidx]                    # [SPW,4] one row gather
-    gxyz = grows[:, :3]
-    gc = jax.lax.bitcast_convert_type(grows[:, 3], jnp.uint32)
-    gnode = snode[segrow]
-    glvl = snlvl[segrow]
-    gq = morton.quantize(gxyz, state.box_min, state.cube_size)
-    gqx, gqy, gqz = gq[:, 0], gq[:, 1], gq[:, 2]
+    def spill_block(state):
+        s_cap = state.seg_data.shape[0]
+        seg_node_col = state.seg_data[:, 0]
+        s_sel = (state.seg_data[:, 2] > 0) & (seg_node_col >= 0) & \
+            just[jnp.clip(seg_node_col, 0, n_cap - 1)]
+        sr = jnp.cumsum(s_sel.astype(jnp.int32)) - 1
+        SS = cfg.seg_select_cap  # selected-segment window (selection respects this budget)
+        sel = jnp.full((SS,), -1, jnp.int32).at[
+            jnp.where(s_sel & (sr < SS), sr, SS)].set(
+                jnp.arange(s_cap, dtype=jnp.int32), mode="drop")
+        state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(s_sel & (sr >= SS))
+        sv = sel >= 0
+        ssafe = jnp.maximum(sel, 0)
+        srows = state.seg_data[ssafe]                  # [SS,3] one row gather
+        scnt = jnp.where(sv, srows[:, 2], 0)
+        soff = srows[:, 1]
+        snode = jnp.where(sv, srows[:, 0], 0)
+        snlvl = state.level[snode]
 
-    # voxel candidates of the newly inner node, first-in-cell within each segment
-    pfx, pfy, pfz = morton.prefix_at_level(gqx, gqy, gqz, glvl)
-    rowi = jnp.arange(SPW, dtype=jnp.int32)
-    seg_changed = segrow != jnp.roll(segrow, 1)
-    cell_changed = ((pfx != jnp.roll(pfx, 1)) | (pfy != jnp.roll(pfy, 1))
-                    | (pfz != jnp.roll(pfz, 1)))
-    first_cell = rvalid & ((rowi == 0) | seg_changed | cell_changed)
-    cell = morton.cell_at_level(gqx, gqy, gqz, glvl)
-    state = _append_voxels(state, gnode, cell, gc, first_cell)
+        SPW = cfg.spill_capacity
+        segrow, elem, rvalid, _tot = expand_segments(scnt, SPW)
+        p_cap = state.pt_data.shape[0]
+        pidx = jnp.where(rvalid, soff[segrow] + elem, p_cap - 1)
+        grows = state.pt_data[pidx]                    # [SPW,4] one row gather
+        gxyz = grows[:, :3]
+        gc = jax.lax.bitcast_convert_type(grows[:, 3], jnp.uint32)
+        gnode = snode[segrow]
+        glvl = snlvl[segrow]
+        gq = morton.quantize(gxyz, state.box_min, state.cube_size)
+        gqx, gqy, gqz = gq[:, 0], gq[:, 1], gq[:, 2]
 
-    # sub-segment surgery: runs of (segment, octant) become child segments
-    goct = morton.octant_at_level(gqx, gqy, gqz, glvl)
-    oct_changed = goct != jnp.roll(goct, 1)
-    srun = rvalid & ((rowi == 0) | seg_changed | oct_changed)
-    runlen = run_reduce_sum(jnp.ones((SPW,), jnp.int32), srun, rvalid)
-    brank = jnp.cumsum(srun.astype(jnp.int32)) - 1
-    child_of_row = state.child_base[gnode] + goct
-    npos = state.num_segments + brank
-    fit = srun & (npos < s_cap)
-    widx = jnp.where(fit, npos, s_cap)
-    state.seg_data = state.seg_data.at[widx].set(
-        jnp.stack([child_of_row, soff[segrow] + elem, runlen], axis=-1), mode="drop")
-    n_runs = jnp.sum(fit.astype(jnp.int32))
-    state.num_segments = state.num_segments + n_runs
-    state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(srun & ~fit)
-    # inherited counts: children take over the stored points they now own
-    addi = jnp.where(fit, child_of_row, n_cap)
-    addv = jnp.where(fit, runlen, 0)
-    state.counter = state.counter.at[addi].add(addv, mode="drop")
-    state.num_points = state.num_points.at[addi].add(addv, mode="drop")
-    state.node_seg_count = state.node_seg_count.at[addi].add(
-        jnp.where(fit, 1, 0), mode="drop")
+        # voxel candidates of the newly inner node, first-in-cell within each segment
+        pfx, pfy, pfz = morton.prefix_at_level(gqx, gqy, gqz, glvl)
+        rowi = jnp.arange(SPW, dtype=jnp.int32)
+        seg_changed = segrow != jnp.roll(segrow, 1)
+        cell_changed = ((pfx != jnp.roll(pfx, 1)) | (pfy != jnp.roll(pfy, 1))
+                        | (pfz != jnp.roll(pfz, 1)))
+        first_cell = rvalid & ((rowi == 0) | seg_changed | cell_changed)
+        cell = morton.cell_at_level(gqx, gqy, gqz, glvl)
+        state = _append_voxels(state, gnode, cell, gc, first_cell)
 
-    # kill the split nodes' old segments; zero their stored-point counts
-    state.seg_data = state.seg_data.at[
-        jnp.where(sv, ssafe, s_cap), 2].set(0, mode="drop")
-    state.num_points = state.num_points.at[
-        jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
-    state.node_seg_count = state.node_seg_count.at[
-        jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
+        # sub-segment surgery: runs of (segment, octant) become child segments
+        goct = morton.octant_at_level(gqx, gqy, gqz, glvl)
+        oct_changed = goct != jnp.roll(goct, 1)
+        srun = rvalid & ((rowi == 0) | seg_changed | oct_changed)
+        runlen = run_reduce_sum(jnp.ones((SPW,), jnp.int32), srun, rvalid)
+        brank = jnp.cumsum(srun.astype(jnp.int32)) - 1
+        child_of_row = state.child_base[gnode] + goct
+        npos = state.num_segments + brank
+        fit = srun & (npos < s_cap)
+        widx = jnp.where(fit, npos, s_cap)
+        state.seg_data = state.seg_data.at[widx].set(
+            jnp.stack([child_of_row, soff[segrow] + elem, runlen], axis=-1), mode="drop")
+        n_runs = jnp.sum(fit.astype(jnp.int32))
+        state.num_segments = state.num_segments + n_runs
+        state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(srun & ~fit)
+        # inherited counts: children take over the stored points they now own
+        addi = jnp.where(fit, child_of_row, n_cap)
+        addv = jnp.where(fit, runlen, 0)
+        state.counter = state.counter.at[addi].add(addv, mode="drop")
+        state.num_points = state.num_points.at[addi].add(addv, mode="drop")
+        state.node_seg_count = state.node_seg_count.at[addi].add(
+            jnp.where(fit, 1, 0), mode="drop")
+
+        # kill the split nodes' old segments; zero their stored-point counts
+        state.seg_data = state.seg_data.at[
+            jnp.where(sv, ssafe, s_cap), 2].set(0, mode="drop")
+        state.num_points = state.num_points.at[
+            jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
+        state.node_seg_count = state.node_seg_count.at[
+            jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
+
+        return state
+
+    state = jax.lax.cond(total_spill > 0, spill_block, lambda st: st, state)
 
     # --- re-route batch rows whose leaf just split (one level down) ---
     lsafe = jnp.clip(work.leaf, 0, n_cap - 1)
-    aff = valid & gather1d(just.astype(jnp.int32), lsafe).astype(bool)
-    cb = gather1d(state.child_base, lsafe)
+    aff = valid & just[lsafe]
+    cb = state.child_base[lsafe]
     new_leaf = jnp.where(
         aff, cb + morton.octant_at_level(work.qx, work.qy, work.qz, work.lvl),
         work.leaf)
