@@ -41,6 +41,7 @@ from ..ops import morton
 from ..ops.segments import (carry_last, compact_mask_via_sort, exclusive_cumsum,
                             expand_segments, popcount32, run_reduce_sum, run_starts)
 from ..ops.fastops import gather1d
+from ..ops import ragged
 from .structures import OctreeState
 
 I32_MAX = jnp.iinfo(jnp.int32).max
@@ -156,8 +157,9 @@ def _append_voxels(state: OctreeState, node, cell, rgba, emit_mask):
     fit = emit_mask & (pos < v_cap)
     widx = jnp.where(fit, pos, v_cap)
     state.vox_node = state.vox_node.at[widx].set(node, mode="drop")
-    state.vox_cell = state.vox_cell.at[widx].set(cell, mode="drop")
-    state.vox_rgba = state.vox_rgba.at[widx].set(rgba, mode="drop")
+    state.vox_data = state.vox_data.at[widx].set(
+        jnp.stack([cell, jax.lax.bitcast_convert_type(rgba, jnp.int32)], axis=-1),
+        mode="drop")
     n_new = jnp.sum(fit.astype(jnp.int32))
     state.vox_used = state.vox_used + n_new
     state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(emit_mask & ~fit)
@@ -259,32 +261,36 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
         snode = jnp.where(sv, srows[:, 0], 0)
         snlvl = state.level[snode]
 
-        SPW = cfg.spill_capacity
-        segrow, elem, rvalid, _tot = expand_segments(scnt, SPW)
-        p_cap = state.pt_data.shape[0]
-        pidx = jnp.where(rvalid, soff[segrow] + elem, p_cap - 1)
-        grows = state.pt_data[pidx]                    # [SPW,4] one row gather
+        SPW = ragged.window_for(cfg.spill_capacity, SS, 4)
+        grows, segrow, elem, rvalid = ragged.ragged_gather(
+            state.pt_data, soff, scnt, SPW)
+        # guard: a window overflow would silently drop whole segments
+        state.mem_capacity_reached = state.mem_capacity_reached | (
+            jnp.sum(rvalid.astype(jnp.int32)) != jnp.sum(scnt))
         gxyz = grows[:, :3]
         gc = jax.lax.bitcast_convert_type(grows[:, 3], jnp.uint32)
-        gnode = snode[segrow]
-        glvl = snlvl[segrow]
+        gtab = jnp.stack([snode, snlvl, soff], axis=-1)[segrow]  # one row gather
+        gnode = gtab[:, 0]
+        glvl = gtab[:, 1]
         gq = morton.quantize(gxyz, state.box_min, state.cube_size)
         gqx, gqy, gqz = gq[:, 0], gq[:, 1], gq[:, 2]
 
-        # voxel candidates of the newly inner node, first-in-cell within each segment
+        # voxel candidates of the newly inner node, first-in-cell within each segment.
+        # NOTE: a segment's first VALID row is elem == 0 — junk alignment rows before
+        # it carry arbitrary pool data, so adjacent-compare alone is not a safe
+        # boundary test there.
         pfx, pfy, pfz = morton.prefix_at_level(gqx, gqy, gqz, glvl)
-        rowi = jnp.arange(SPW, dtype=jnp.int32)
-        seg_changed = segrow != jnp.roll(segrow, 1)
+        seg_first = rvalid & (elem == 0)
         cell_changed = ((pfx != jnp.roll(pfx, 1)) | (pfy != jnp.roll(pfy, 1))
                         | (pfz != jnp.roll(pfz, 1)))
-        first_cell = rvalid & ((rowi == 0) | seg_changed | cell_changed)
+        first_cell = rvalid & (seg_first | cell_changed)
         cell = morton.cell_at_level(gqx, gqy, gqz, glvl)
         state = _append_voxels(state, gnode, cell, gc, first_cell)
 
         # sub-segment surgery: runs of (segment, octant) become child segments
         goct = morton.octant_at_level(gqx, gqy, gqz, glvl)
         oct_changed = goct != jnp.roll(goct, 1)
-        srun = rvalid & ((rowi == 0) | seg_changed | oct_changed)
+        srun = rvalid & (seg_first | oct_changed)
         runlen = run_reduce_sum(jnp.ones((SPW,), jnp.int32), srun, rvalid)
         brank = jnp.cumsum(srun.astype(jnp.int32)) - 1
         child_of_row = state.child_base[gnode] + goct
@@ -292,7 +298,7 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
         fit = srun & (npos < s_cap)
         widx = jnp.where(fit, npos, s_cap)
         state.seg_data = state.seg_data.at[widx].set(
-            jnp.stack([child_of_row, soff[segrow] + elem, runlen], axis=-1), mode="drop")
+            jnp.stack([child_of_row, gtab[:, 2] + elem, runlen], axis=-1), mode="drop")
         n_runs = jnp.sum(fit.astype(jnp.int32))
         state.num_segments = state.num_segments + n_runs
         state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(srun & ~fit)
@@ -507,7 +513,8 @@ def compact_voxels_impl(cfg: EngineConfig, state: OctreeState) -> OctreeState:
     valid = rows < state.vox_used
     nkey = jnp.where(valid, state.vox_node, jnp.int32(I32_MAX))
     snode, scell, srgba = jax.lax.sort(
-        (nkey, state.vox_cell, state.vox_rgba), num_keys=2, is_stable=True)
+        (nkey, state.vox_data[:, 0], state.vox_data[:, 1]),
+        num_keys=2, is_stable=True)
     svalid = rows < state.vox_used
     uniq = svalid & ((snode != jnp.roll(snode, 1)) | (scell != jnp.roll(scell, 1))
                      | (rows == 0))
@@ -515,8 +522,8 @@ def compact_voxels_impl(cfg: EngineConfig, state: OctreeState) -> OctreeState:
 
     cvalid = rows < n_uniq
     state.vox_node = jnp.where(cvalid, cnode, 0)
-    state.vox_cell = jnp.where(cvalid, ccell, 0)
-    state.vox_rgba = jnp.where(cvalid, crgba, jnp.uint32(0))
+    state.vox_data = jnp.stack([jnp.where(cvalid, ccell, 0),
+                                jnp.where(cvalid, crgba, 0)], axis=-1)
     state.vox_used = n_uniq
     state.vox_compacted = n_uniq
 
@@ -558,17 +565,18 @@ def _compact_voxels_window(cfg: EngineConfig, state: OctreeState, w: int):
     valid = rows < state.vox_used
     nkey = jnp.where(valid, state.vox_node[:w], jnp.int32(I32_MAX))
     snode, scell, srgba = jax.lax.sort(
-        (nkey, state.vox_cell[:w], state.vox_rgba[:w]), num_keys=2, is_stable=True)
+        (nkey, state.vox_data[:w, 0], state.vox_data[:w, 1]),
+        num_keys=2, is_stable=True)
     uniq = valid & ((snode != jnp.roll(snode, 1)) | (scell != jnp.roll(scell, 1))
                     | (rows == 0))
     (cnode, ccell, crgba), n_uniq = compact_mask_via_sort(uniq, (snode, scell, srgba))
     cvalid = rows < n_uniq
     cnode = jnp.where(cvalid, cnode, 0)
     state.vox_node = jax.lax.dynamic_update_slice(state.vox_node, cnode, (0,))
-    state.vox_cell = jax.lax.dynamic_update_slice(
-        state.vox_cell, jnp.where(cvalid, ccell, 0), (0,))
-    state.vox_rgba = jax.lax.dynamic_update_slice(
-        state.vox_rgba, jnp.where(cvalid, crgba, jnp.uint32(0)), (0,))
+    state.vox_data = jax.lax.dynamic_update_slice(
+        state.vox_data,
+        jnp.stack([jnp.where(cvalid, ccell, 0), jnp.where(cvalid, crgba, 0)],
+                  axis=-1), (0, 0))
     state.vox_used = n_uniq
     state.vox_compacted = n_uniq
 

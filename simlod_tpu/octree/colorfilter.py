@@ -141,7 +141,8 @@ def _filter_level(cfg: EngineConfig, state: OctreeState, vw: int, pw: int, sw: i
     trank = jnp.arange(sw, dtype=jnp.int32)
     ok = tvalid & (trank < n_agg)
     tidx = jnp.where(ok, state.vox_off[:-1][tnode] + telem, v_cap)
-    state.vox_rgba = state.vox_rgba.at[tidx].set(agg_col, mode="drop")
+    state.vox_data = state.vox_data.at[tidx, 1].set(
+        jax.lax.bitcast_convert_type(agg_col, jnp.int32), mode="drop")
     return state
 
 

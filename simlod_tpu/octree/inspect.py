@@ -36,7 +36,7 @@ def node_table(state: OctreeState) -> dict:
     vox_by_node: dict[int, dict] = {}
     for i in range(int(s["vox_used"])):
         vox_by_node.setdefault(int(s["vox_node"][i]), {}).setdefault(
-            int(s["vox_cell"][i]), int(s["vox_rgba"][i]))
+            int(s["vox_data"][i, 0]), int(np.uint32(s["vox_data"][i, 1])))
     for i in range(n):
         spans = pts_by_node.get(i, [])
         idx = np.concatenate([np.arange(o, o + c) for (o, c) in spans]) \

@@ -65,10 +65,9 @@ class OctreeState:
     seg_data: jax.Array        # i32 [segment_capacity, 3]; node -1 = never used
     num_segments: jax.Array    # i32 scalar watermark
 
-    # --- voxel store ---
+    # --- voxel store (vox_data row-packed: cell, rgba-bits) ---
     vox_node: jax.Array        # i32 [voxel_capacity + pad]
-    vox_cell: jax.Array        # i32 packed 21-bit cell
-    vox_rgba: jax.Array        # u32
+    vox_data: jax.Array        # i32 [voxel_capacity + pad, 2]: cell, rgba bits
     vox_used: jax.Array        # i32 scalar watermark (compacted + tail)
     vox_compacted: jax.Array   # i32 scalar: rows [0, vox_compacted) are sorted+deduped
     vox_off: jax.Array         # i32 [node_capacity + 1] CSR into the compacted prefix
@@ -94,6 +93,15 @@ class OctreeState:
         return _jax.lax.bitcast_convert_type(self.pt_data[:, 3], jnp.uint32)
 
     @property
+    def vox_cell(self) -> jax.Array:
+        return self.vox_data[:, 0]
+
+    @property
+    def vox_rgba(self) -> jax.Array:
+        import jax as _jax
+        return _jax.lax.bitcast_convert_type(self.vox_data[:, 1], jnp.uint32)
+
+    @property
     def seg_node(self) -> jax.Array:
         return self.seg_data[:, 0]
 
@@ -113,9 +121,11 @@ def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
     edge max(extent) anchored at box_min (reference render.cu:1137-1140 cubeSize/cubeMin).
     """
     n_cap = cfg.node_capacity
-    # Padded pools so bulk appends can write a full static window past the watermark.
-    p_cap = cfg.point_capacity + cfg.working_capacity
-    v_cap = cfg.voxel_capacity + _cand_capacity(cfg)
+    # Padded pools so bulk appends can write a full static window past the watermark;
+    # rounded so the aligned-row-gather views ([P/32,128] / [V/64,128]) tile exactly.
+    rnd = lambda v, m: ((v + m - 1) // m) * m
+    p_cap = rnd(cfg.point_capacity + cfg.working_capacity, 128)
+    v_cap = rnd(cfg.voxel_capacity + _cand_capacity(cfg), 128)
 
     box_min = jnp.asarray(box_min, jnp.float32)
     box_max = jnp.asarray(box_max, jnp.float32)
@@ -141,8 +151,7 @@ def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
              jnp.zeros((cfg.segment_capacity, 2), i32)], axis=1),
         num_segments=jnp.asarray(0, i32),
         vox_node=jnp.zeros((v_cap,), i32),
-        vox_cell=jnp.zeros((v_cap,), i32),
-        vox_rgba=jnp.zeros((v_cap,), jnp.uint32),
+        vox_data=jnp.zeros((v_cap, 2), i32),
         vox_used=jnp.asarray(0, i32), vox_compacted=jnp.asarray(0, i32),
         vox_off=jnp.zeros((n_cap + 1,), i32),
         box_min=box_min, cube_size=cube_size,
