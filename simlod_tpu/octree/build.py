@@ -157,9 +157,8 @@ def _append_voxels(state: OctreeState, node, cell, rgba, emit_mask):
     fit = emit_mask & (pos < v_cap)
     widx = jnp.where(fit, pos, v_cap)
     state.vox_node = state.vox_node.at[widx].set(node, mode="drop")
-    state.vox_data = state.vox_data.at[widx].set(
-        jnp.stack([cell, jax.lax.bitcast_convert_type(rgba, jnp.int32)], axis=-1),
-        mode="drop")
+    state.vox_cell = state.vox_cell.at[widx].set(cell, mode="drop")
+    state.vox_rgba = state.vox_rgba.at[widx].set(rgba, mode="drop")
     n_new = jnp.sum(fit.astype(jnp.int32))
     state.vox_used = state.vox_used + n_new
     state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(emit_mask & ~fit)
@@ -224,11 +223,15 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
     state.num_voxels = state.num_voxels.at[cid].set(0, mode="drop")
     # ancestor rows: copy parent's row up to parent level, self afterwards
     cols = jnp.arange(C.MAX_DEPTH + 1, dtype=jnp.int32)
-    panc = state.anc[tsafe]                                    # [K, L]
+    L = C.MAX_DEPTH + 1
+    panc = state.anc[(tsafe[:, None] * L + cols[None, :]).reshape(-1)].reshape(-1, L)
     crow = jnp.where(cols[None, None, :] <= plvl[:, None, None],
                      panc[:, None, :],
                      (base[:, None] + octs[None, :])[:, :, None])
-    state.anc = state.anc.at[cid].set(crow.reshape(-1, C.MAX_DEPTH + 1), mode="drop")
+    n_anc = state.anc.shape[0]
+    anc_idx = jnp.where(cid[:, None] < n_cap, cid[:, None] * L + cols[None, :], n_anc)
+    state.anc = state.anc.at[anc_idx.reshape(-1)].set(
+        crow.reshape(-1), mode="drop")
     state.child_base = state.child_base.at[
         jnp.where(tv, tsafe, n_cap)].set(base, mode="drop")
     state.num_nodes = state.num_nodes + 8 * n_take
@@ -243,10 +246,9 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
         jnp.where(tv, tsafe, n_cap)].set(True, mode="drop")
 
     def spill_block(state):
-        s_cap = state.seg_data.shape[0]
-        seg_node_col = state.seg_data[:, 0]
-        s_sel = (state.seg_data[:, 2] > 0) & (seg_node_col >= 0) & \
-            just[jnp.clip(seg_node_col, 0, n_cap - 1)]
+        s_cap = state.seg_node.shape[0]
+        s_sel = (state.seg_cnt > 0) & (state.seg_node >= 0) & \
+            just[jnp.clip(state.seg_node, 0, n_cap - 1)]
         sr = jnp.cumsum(s_sel.astype(jnp.int32)) - 1
         SS = cfg.seg_select_cap  # selected-segment window (selection respects this budget)
         sel = jnp.full((SS,), -1, jnp.int32).at[
@@ -255,23 +257,26 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
         state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(s_sel & (sr >= SS))
         sv = sel >= 0
         ssafe = jnp.maximum(sel, 0)
-        srows = state.seg_data[ssafe]                  # [SS,3] one row gather
-        scnt = jnp.where(sv, srows[:, 2], 0)
-        soff = srows[:, 1]
-        snode = jnp.where(sv, srows[:, 0], 0)
+        scnt = jnp.where(sv, state.seg_cnt[ssafe], 0)
+        soff = state.seg_off[ssafe]
+        snode = jnp.where(sv, state.seg_node[ssafe], 0)
         snlvl = state.level[snode]
 
-        SPW = ragged.window_for(cfg.spill_capacity, SS, 4)
-        grows, segrow, elem, rvalid = ragged.ragged_gather(
-            state.pt_data, soff, scnt, SPW)
+        SPW = ragged.window_for(cfg.spill_capacity, SS)
+        rplan = ragged.plan(soff, scnt, SPW)
+        segrow, elem, rvalid = rplan.seg_of, rplan.elem, rplan.valid
         # guard: a window overflow would silently drop whole segments
         state.mem_capacity_reached = state.mem_capacity_reached | (
             jnp.sum(rvalid.astype(jnp.int32)) != jnp.sum(scnt))
-        gxyz = grows[:, :3]
-        gc = jax.lax.bitcast_convert_type(grows[:, 3], jnp.uint32)
-        gtab = jnp.stack([snode, snlvl, soff], axis=-1)[segrow]  # one row gather
-        gnode = gtab[:, 0]
-        glvl = gtab[:, 1]
+        gx = ragged.gather_column(rplan, state.pt_x)
+        gy = ragged.gather_column(rplan, state.pt_y)
+        gz = ragged.gather_column(rplan, state.pt_z)
+        gc = jax.lax.bitcast_convert_type(
+            ragged.gather_column(rplan, jax.lax.bitcast_convert_type(
+                state.pt_rgba, jnp.float32)), jnp.uint32)
+        gxyz = jnp.stack([gx, gy, gz], axis=-1)
+        gnode = snode[segrow]
+        glvl = snlvl[segrow]
         gq = morton.quantize(gxyz, state.box_min, state.cube_size)
         gqx, gqy, gqz = gq[:, 0], gq[:, 1], gq[:, 2]
 
@@ -297,8 +302,9 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
         npos = state.num_segments + brank
         fit = srun & (npos < s_cap)
         widx = jnp.where(fit, npos, s_cap)
-        state.seg_data = state.seg_data.at[widx].set(
-            jnp.stack([child_of_row, gtab[:, 2] + elem, runlen], axis=-1), mode="drop")
+        state.seg_node = state.seg_node.at[widx].set(child_of_row, mode="drop")
+        state.seg_off = state.seg_off.at[widx].set(soff[segrow] + elem, mode="drop")
+        state.seg_cnt = state.seg_cnt.at[widx].set(runlen, mode="drop")
         n_runs = jnp.sum(fit.astype(jnp.int32))
         state.num_segments = state.num_segments + n_runs
         state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(srun & ~fit)
@@ -311,8 +317,8 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
             jnp.where(fit, 1, 0), mode="drop")
 
         # kill the split nodes' old segments; zero their stored-point counts
-        state.seg_data = state.seg_data.at[
-            jnp.where(sv, ssafe, s_cap), 2].set(0, mode="drop")
+        state.seg_cnt = state.seg_cnt.at[
+            jnp.where(sv, ssafe, s_cap)].set(0, mode="drop")
         state.num_points = state.num_points.at[
             jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
         state.node_seg_count = state.node_seg_count.at[
@@ -411,8 +417,7 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
         cum = cum + bit
 
     cell = morton.cell_at_level(sqx, sqy, sqz, lvl_out)
-    anc_flat = state.anc.reshape(-1)
-    node = gather1d(anc_flat, sleaf * (C.MAX_DEPTH + 1) + lvl_out)
+    node = gather1d(state.anc, sleaf * (C.MAX_DEPTH + 1) + lvl_out)
     state = _append_voxels(state, node, cell, color, jvalid)
     state.mem_capacity_reached = state.mem_capacity_reached | drop_tail
     return state
@@ -429,7 +434,7 @@ def insert_points(cfg: EngineConfig, state: OctreeState, work: Work):
     """
     B = work.leaf.shape[0]
     n_cap = state.child_base.shape[0]
-    s_cap = state.seg_data.shape[0]
+    s_cap = state.seg_node.shape[0]
     rowi = jnp.arange(B, dtype=jnp.int32)
 
     room = jnp.maximum(cfg.point_capacity - state.pool_used, 0)
@@ -440,10 +445,11 @@ def insert_points(cfg: EngineConfig, state: OctreeState, work: Work):
 
     # pool append (one dynamic-update-slice; rows past new_count are garbage beyond
     # the watermark and are overwritten by later appends)
-    rows = jnp.stack([work.x, work.y, work.z,
-                      jax.lax.bitcast_convert_type(work.rgba, jnp.float32)], axis=-1)
-    state.pt_data = jax.lax.dynamic_update_slice(
-        state.pt_data, rows, (state.pool_used, 0))
+    dus = jax.lax.dynamic_update_slice
+    state.pt_x = dus(state.pt_x, work.x, (state.pool_used,))
+    state.pt_y = dus(state.pt_y, work.y, (state.pool_used,))
+    state.pt_z = dus(state.pt_z, work.z, (state.pool_used,))
+    state.pt_rgba = dus(state.pt_rgba, work.rgba, (state.pool_used,))
 
     # segments: one per leaf run; compact run-start rows to a small window
     starts = run_starts(work.leaf, valid)
@@ -462,8 +468,9 @@ def insert_points(cfg: EngineConfig, state: OctreeState, work: Work):
     pos = state.num_segments + jnp.arange(RW, dtype=jnp.int32)
     fit = rvalid & (pos < s_cap)
     sidx = jnp.where(fit, pos, s_cap)
-    state.seg_data = state.seg_data.at[sidx].set(
-        jnp.stack([r_leaf, r_off, r_cnt], axis=-1), mode="drop")
+    state.seg_node = state.seg_node.at[sidx].set(r_leaf, mode="drop")
+    state.seg_off = state.seg_off.at[sidx].set(r_off, mode="drop")
+    state.seg_cnt = state.seg_cnt.at[sidx].set(r_cnt, mode="drop")
     n_segs = jnp.sum(fit.astype(jnp.int32))
     state.num_segments = state.num_segments + n_segs
     state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(rvalid & ~fit)
@@ -500,6 +507,28 @@ build_step = functools.partial(jax.jit, static_argnums=0,
                                donate_argnums=1)(build_step_impl)
 
 
+def build_many_impl(cfg: EngineConfig, state: OctreeState, xyz_batches: jax.Array,
+                    rgba_batches: jax.Array, counts: jax.Array) -> OctreeState:
+    """Ingest K batches in one program via lax.scan (pipelined ingest).
+
+    The reference keeps its device busy by re-launching kernel_construct per frame
+    against a pre-uploaded ring (main_progressive_octree.cpp:364-399); the XLA
+    equivalent is scanning the step over device-resident batches, which removes all
+    host round-trips between steps.
+    """
+
+    def body(st, inp):
+        bx, bc, n = inp
+        return build_step_impl(cfg, st, bx, bc, n), None
+
+    state, _ = jax.lax.scan(body, state, (xyz_batches, rgba_batches, counts))
+    return state
+
+
+build_many = functools.partial(jax.jit, static_argnums=0,
+                               donate_argnums=1)(build_many_impl)
+
+
 def compact_voxels_impl(cfg: EngineConfig, state: OctreeState) -> OctreeState:
     """Sort the voxel store by (node, cell), drop duplicate cells (first arrival wins),
     and rebuild the per-node CSR directory + exact per-node voxel counts.
@@ -513,8 +542,7 @@ def compact_voxels_impl(cfg: EngineConfig, state: OctreeState) -> OctreeState:
     valid = rows < state.vox_used
     nkey = jnp.where(valid, state.vox_node, jnp.int32(I32_MAX))
     snode, scell, srgba = jax.lax.sort(
-        (nkey, state.vox_data[:, 0], state.vox_data[:, 1]),
-        num_keys=2, is_stable=True)
+        (nkey, state.vox_cell, state.vox_rgba), num_keys=2, is_stable=True)
     svalid = rows < state.vox_used
     uniq = svalid & ((snode != jnp.roll(snode, 1)) | (scell != jnp.roll(scell, 1))
                      | (rows == 0))
@@ -522,8 +550,8 @@ def compact_voxels_impl(cfg: EngineConfig, state: OctreeState) -> OctreeState:
 
     cvalid = rows < n_uniq
     state.vox_node = jnp.where(cvalid, cnode, 0)
-    state.vox_data = jnp.stack([jnp.where(cvalid, ccell, 0),
-                                jnp.where(cvalid, crgba, 0)], axis=-1)
+    state.vox_cell = jnp.where(cvalid, ccell, 0)
+    state.vox_rgba = jnp.where(cvalid, crgba, jnp.uint32(0))
     state.vox_used = n_uniq
     state.vox_compacted = n_uniq
 
@@ -565,18 +593,17 @@ def _compact_voxels_window(cfg: EngineConfig, state: OctreeState, w: int):
     valid = rows < state.vox_used
     nkey = jnp.where(valid, state.vox_node[:w], jnp.int32(I32_MAX))
     snode, scell, srgba = jax.lax.sort(
-        (nkey, state.vox_data[:w, 0], state.vox_data[:w, 1]),
-        num_keys=2, is_stable=True)
+        (nkey, state.vox_cell[:w], state.vox_rgba[:w]), num_keys=2, is_stable=True)
     uniq = valid & ((snode != jnp.roll(snode, 1)) | (scell != jnp.roll(scell, 1))
                     | (rows == 0))
     (cnode, ccell, crgba), n_uniq = compact_mask_via_sort(uniq, (snode, scell, srgba))
     cvalid = rows < n_uniq
     cnode = jnp.where(cvalid, cnode, 0)
     state.vox_node = jax.lax.dynamic_update_slice(state.vox_node, cnode, (0,))
-    state.vox_data = jax.lax.dynamic_update_slice(
-        state.vox_data,
-        jnp.stack([jnp.where(cvalid, ccell, 0), jnp.where(cvalid, crgba, 0)],
-                  axis=-1), (0, 0))
+    state.vox_cell = jax.lax.dynamic_update_slice(
+        state.vox_cell, jnp.where(cvalid, ccell, 0), (0,))
+    state.vox_rgba = jax.lax.dynamic_update_slice(
+        state.vox_rgba, jnp.where(cvalid, crgba, jnp.uint32(0)), (0,))
     state.vox_used = n_uniq
     state.vox_compacted = n_uniq
 

@@ -93,9 +93,9 @@ def _filter_level(cfg: EngineConfig, state: OctreeState, vw: int, pw: int, sw: i
         & (state.child_base[seg_node_safe] < 0)
     pcnt = jnp.where(seg_sel, state.seg_cnt, 0)
     pseg, pelem, pvalid, _ = expand_segments(pcnt, pw)
-    p_cap = state.pt_xyz.shape[0]
+    p_cap = state.pt_x.shape[0]
     pidx = jnp.where(pvalid, state.seg_off[pseg] + pelem, p_cap - 1)
-    pxyz = state.pt_xyz[pidx]
+    pxyz = jnp.stack([state.pt_x[pidx], state.pt_y[pidx], state.pt_z[pidx]], -1)
     prgba = state.pt_rgba[pidx]
     pq = morton.quantize(pxyz, state.box_min, state.cube_size)
     pcell = morton.cell_at_level(pq[:, 0], pq[:, 1], pq[:, 2], lvl)
@@ -141,8 +141,7 @@ def _filter_level(cfg: EngineConfig, state: OctreeState, vw: int, pw: int, sw: i
     trank = jnp.arange(sw, dtype=jnp.int32)
     ok = tvalid & (trank < n_agg)
     tidx = jnp.where(ok, state.vox_off[:-1][tnode] + telem, v_cap)
-    state.vox_data = state.vox_data.at[tidx, 1].set(
-        jax.lax.bitcast_convert_type(agg_col, jnp.int32), mode="drop")
+    state.vox_rgba = state.vox_rgba.at[tidx].set(agg_col, mode="drop")
     return state
 
 

@@ -25,9 +25,9 @@ def node_table(state: OctreeState) -> dict:
     table = {}
     # per-node stored points via live segments
     nseg = int(s["num_segments"])
-    seg_n = s["seg_data"][:nseg, 0]
-    seg_o = s["seg_data"][:nseg, 1]
-    seg_c = s["seg_data"][:nseg, 2]
+    seg_n = s["seg_node"][:nseg]
+    seg_o = s["seg_off"][:nseg]
+    seg_c = s["seg_cnt"][:nseg]
     pts_by_node: dict[int, list] = {}
     for sn, so, sc in zip(seg_n, seg_o, seg_c):
         if sc > 0 and sn >= 0:
@@ -36,7 +36,7 @@ def node_table(state: OctreeState) -> dict:
     vox_by_node: dict[int, dict] = {}
     for i in range(int(s["vox_used"])):
         vox_by_node.setdefault(int(s["vox_node"][i]), {}).setdefault(
-            int(s["vox_data"][i, 0]), int(np.uint32(s["vox_data"][i, 1])))
+            int(s["vox_cell"][i]), int(s["vox_rgba"][i]))
     for i in range(n):
         spans = pts_by_node.get(i, [])
         idx = np.concatenate([np.arange(o, o + c) for (o, c) in spans]) \
@@ -50,9 +50,9 @@ def node_table(state: OctreeState) -> dict:
             counter=int(s["counter"][i]),
             num_points=int(s["num_points"][i]),
             num_voxels=int(s["num_voxels"][i]),
-            points_xyz=s["pt_data"][idx, :3],
-            points_rgba=s["pt_data"][idx, 3].view(np.uint32)
-            if len(idx) else np.zeros((0,), np.uint32),
+            points_xyz=np.stack([s["pt_x"][idx], s["pt_y"][idx],
+                                 s["pt_z"][idx]], -1),
+            points_rgba=s["pt_rgba"][idx],
             voxels=vox_by_node.get(i, {}),
         )
     return table

@@ -53,21 +53,28 @@ class OctreeState:
     num_points: jax.Array      # i32; points stored (leaves)
     num_voxels: jax.Array      # i32; voxels attributed (approximate until compaction)
     node_seg_count: jax.Array  # i32; live segments owned by the node (split budgeting)
-    anc: jax.Array             # i32 [node_capacity, MAX_DEPTH+1] ancestor table
+    anc: jax.Array             # i32 [node_capacity * (MAX_DEPTH+1)] flat ancestor table
+                               # (flat: narrow 2-D arrays lane-pad 128x in TPU HBM)
     num_nodes: jax.Array       # i32 scalar watermark
 
-    # --- point pool (row-packed: one row gather fetches a whole point) ---
-    pt_data: jax.Array         # f32 [point_capacity + pad, 4]: x, y, z, rgba-bits
+    # --- point pool (1-D columns; see ops/ragged.py for why not [P,4]) ---
+    pt_x: jax.Array            # f32 [point_capacity + pad]
+    pt_y: jax.Array
+    pt_z: jax.Array
+    pt_rgba: jax.Array         # u32
     pool_used: jax.Array       # i32 scalar watermark
     pool_waste: jax.Array      # i32 scalar: dead (respilled) entries awaiting defrag
 
-    # --- segment directory (row-packed: node, offset, count) ---
-    seg_data: jax.Array        # i32 [segment_capacity, 3]; node -1 = never used
+    # --- segment directory (1-D columns) ---
+    seg_node: jax.Array        # i32 [segment_capacity]; -1 = never used
+    seg_off: jax.Array         # i32
+    seg_cnt: jax.Array         # i32; 0 = dead
     num_segments: jax.Array    # i32 scalar watermark
 
-    # --- voxel store (vox_data row-packed: cell, rgba-bits) ---
+    # --- voxel store (1-D columns) ---
     vox_node: jax.Array        # i32 [voxel_capacity + pad]
-    vox_data: jax.Array        # i32 [voxel_capacity + pad, 2]: cell, rgba bits
+    vox_cell: jax.Array        # i32 packed 21-bit cell
+    vox_rgba: jax.Array        # u32
     vox_used: jax.Array        # i32 scalar watermark (compacted + tail)
     vox_compacted: jax.Array   # i32 scalar: rows [0, vox_compacted) are sorted+deduped
     vox_off: jax.Array         # i32 [node_capacity + 1] CSR into the compacted prefix
@@ -81,37 +88,10 @@ class OctreeState:
     num_points_dropped: jax.Array    # i32
     mem_capacity_reached: jax.Array  # bool
 
-
-    # read-only convenience views (writers use the packed layouts directly)
     @property
     def pt_xyz(self) -> jax.Array:
-        return self.pt_data[:, :3]
-
-    @property
-    def pt_rgba(self) -> jax.Array:
-        import jax as _jax
-        return _jax.lax.bitcast_convert_type(self.pt_data[:, 3], jnp.uint32)
-
-    @property
-    def vox_cell(self) -> jax.Array:
-        return self.vox_data[:, 0]
-
-    @property
-    def vox_rgba(self) -> jax.Array:
-        import jax as _jax
-        return _jax.lax.bitcast_convert_type(self.vox_data[:, 1], jnp.uint32)
-
-    @property
-    def seg_node(self) -> jax.Array:
-        return self.seg_data[:, 0]
-
-    @property
-    def seg_off(self) -> jax.Array:
-        return self.seg_data[:, 1]
-
-    @property
-    def seg_cnt(self) -> jax.Array:
-        return self.seg_data[:, 2]
+        """[P,3] view for host-side inspection/tests (materializes; not hot-path)."""
+        return jnp.stack([self.pt_x, self.pt_y, self.pt_z], axis=-1)
 
 
 def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
@@ -135,7 +115,7 @@ def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
     zeros_n = lambda: jnp.zeros((n_cap,), i32)
     neg_n = lambda: jnp.full((n_cap,), -1, i32)
 
-    anc = jnp.zeros((n_cap, C.MAX_DEPTH + 1), i32)
+    anc = jnp.zeros((n_cap * (C.MAX_DEPTH + 1),), i32)
 
     return OctreeState(
         child_base=neg_n(), parent=neg_n(), level=zeros_n(),
@@ -144,14 +124,18 @@ def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
         node_seg_count=zeros_n(),
         anc=anc,
         num_nodes=jnp.asarray(1, i32),
-        pt_data=jnp.zeros((p_cap, 4), jnp.float32),
+        pt_x=jnp.zeros((p_cap,), jnp.float32),
+        pt_y=jnp.zeros((p_cap,), jnp.float32),
+        pt_z=jnp.zeros((p_cap,), jnp.float32),
+        pt_rgba=jnp.zeros((p_cap,), jnp.uint32),
         pool_used=jnp.asarray(0, i32), pool_waste=jnp.asarray(0, i32),
-        seg_data=jnp.concatenate(
-            [jnp.full((cfg.segment_capacity, 1), -1, i32),
-             jnp.zeros((cfg.segment_capacity, 2), i32)], axis=1),
+        seg_node=jnp.full((cfg.segment_capacity,), -1, i32),
+        seg_off=jnp.zeros((cfg.segment_capacity,), i32),
+        seg_cnt=jnp.zeros((cfg.segment_capacity,), i32),
         num_segments=jnp.asarray(0, i32),
         vox_node=jnp.zeros((v_cap,), i32),
-        vox_data=jnp.zeros((v_cap, 2), i32),
+        vox_cell=jnp.zeros((v_cap,), i32),
+        vox_rgba=jnp.zeros((v_cap,), jnp.uint32),
         vox_used=jnp.asarray(0, i32), vox_compacted=jnp.asarray(0, i32),
         vox_off=jnp.zeros((n_cap + 1,), i32),
         box_min=box_min, cube_size=cube_size,

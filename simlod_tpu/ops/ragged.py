@@ -1,45 +1,49 @@
 """Bandwidth-optimal ragged segment gathers via aligned 128-lane row gathers.
 
 The engine's dominant access pattern is "gather many variable-length CONTIGUOUS runs
-of pool rows" (point segments, voxel CSR ranges). XLA element/row gathers cost ~6-7 ns
-per gathered ROW on TPU v5e regardless of width — so the trick is to gather as few,
-as wide rows as possible: view the pool as [P/A, 128] lanes (A = points per 128-lane
-row) and fetch the aligned row ranges covering each segment. Each segment lands in the
-output at the SAME phase (off mod A) it has in the pool, so the copy is exact; the up
-to A-1 junk lanes before/after each segment are masked via a monotone carry (both
-region starts and ends are strictly increasing, so plain cummax carries them — no
-per-row table gathers at all).
+from 1-D pool arrays" (point segments, voxel CSR ranges). Two TPU facts drive the
+design (measured on v5e):
 
-Effective cost: ~6 ns per 128-lane row = ~0.2 ns per point for 4-float points —
-~30x cheaper than per-point gathers, with no Pallas (works identically on CPU).
+  1. XLA gathers cost ~6-7 ns per gathered ROW regardless of row width — so gather
+     few, wide rows: view a 1-D pool as [P/128, 128] (free reshape; 1-D arrays have no
+     lane padding) and fetch the aligned rows covering each segment.
+  2. Arrays with a narrow trailing dimension are lane-padded to 128 in HBM (a [N,2]
+     array allocates and moves 64x its logical bytes!) — so pools stay 1-D and
+     multi-column data is gathered column-by-column SHARING one index computation.
+
+Each segment lands in the output at the SAME phase (offset mod 128) it has in the
+pool, so the copy is exact; the up-to-127 junk lanes before/after each segment are
+masked via monotone carries (both region starts and ends are strictly increasing,
+so plain cummax carries them — no per-row table gathers).
+
+Effective cost: ~7 ns per 128 elements ≈ 0.05 ns/element/column.
 """
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from .segments import carry_last, exclusive_cumsum
 
-LANES = 128
+A = 128  # lanes per gathered row
 
 
-def ragged_gather(src: jax.Array, src_off: jax.Array, cnt: jax.Array,
-                  out_len: int):
-    """Gather segments src[src_off[i] : src_off[i]+cnt[i]] (rows of a [P, K] array,
-    128 % (K) == 0) into a dense-ish [out_len, K] window.
+class RaggedPlan(NamedTuple):
+    """Shared index computation for gathering one set of segments."""
+    src_row: jax.Array    # [WR] pool row index per output row
+    r_ok: jax.Array       # [WR] row validity
+    seg_of: jax.Array     # [W] segment id per output element (clamped >= 0)
+    elem: jax.Array       # [W] element index within its segment
+    valid: jax.Array      # [W] element validity
+    out_len: int
 
-    Returns (rows [out_len, K], seg_of_row [out_len] i32, elem [out_len] i32,
-    valid [out_len] bool) where elem is the row's index within its segment.
-    Segment i's data lands at phase-preserving positions; rows between segments are
-    invalid. Requires out_len >= sum(ceil((off+cnt)/A) - floor(off/A)) * A; caller
-    sizes the window with `window_for`.
-    """
-    P, K = src.shape
-    A = LANES // K
-    assert LANES % K == 0 and P % A == 0 and out_len % A == 0
+
+def plan(src_off: jax.Array, cnt: jax.Array, out_len: int) -> RaggedPlan:
+    """Build the gather plan for segments (src_off[i], cnt[i]). out_len % 128 == 0."""
+    assert out_len % A == 0
     S = src_off.shape[0]
-    src128 = src.reshape(P // A, LANES)
-
     nz = cnt > 0
     row0 = jnp.where(nz, src_off // A, 0)
     phase = jnp.where(nz, src_off % A, 0)
@@ -55,12 +59,9 @@ def ragged_gather(src: jax.Array, src_off: jax.Array, cnt: jax.Array,
     jr = jnp.arange(WR, dtype=jnp.int32)
     r_ok = (jr < total_rows) & (seg_of_r >= 0)
     sr = jnp.maximum(seg_of_r, 0)
-    src_row = row0[sr] + (jr - row_offs[sr])        # small-table gathers (S entries)
-    rows = src128[jnp.where(r_ok, src_row, P // A - 1)]   # THE row gather
-    out = rows.reshape(out_len, K)
+    src_row = row0[sr] + (jr - row_offs[sr])          # small-table gathers (S entries)
 
-    # per-output-row segment id + validity via monotone carries (no table gathers):
-    # segment i's valid range is [pstart_i, pend_i) with both sequences increasing.
+    # per-element segment id + validity via monotone carries
     pstart = row_offs * A + phase
     pend = pstart + cnt
     j = jnp.arange(out_len, dtype=jnp.int32)
@@ -75,12 +76,19 @@ def ragged_gather(src: jax.Array, src_off: jax.Array, cnt: jax.Array,
     start_of = carry_last(m_start)
     valid = (seg_of >= 0) & (j < end_of)
     elem = j - jnp.maximum(start_of, 0)
-    return out, jnp.maximum(seg_of, 0), elem, valid
+    return RaggedPlan(src_row=src_row, r_ok=r_ok, seg_of=jnp.maximum(seg_of, 0),
+                      elem=elem, valid=valid, out_len=out_len)
 
 
-def window_for(total_points: int, max_segments: int, K: int) -> int:
-    """Static output window: every segment may add up to 2(A-1) rows of phase padding
-    (head alignment + tail round-up)."""
-    A = LANES // K
+def gather_column(p: RaggedPlan, src: jax.Array) -> jax.Array:
+    """Gather one 1-D pool column through the plan -> [out_len] 1-D output."""
+    assert src.ndim == 1 and src.shape[0] % A == 0
+    src128 = src.reshape(-1, A)
+    rows = src128[jnp.where(p.r_ok, p.src_row, src128.shape[0] - 1)]
+    return rows.reshape(p.out_len)
+
+
+def window_for(total_points: int, max_segments: int) -> int:
+    """Static output window: every segment may add up to 2(A-1) phase-padding rows."""
     w = total_points + max_segments * 2 * A + A
     return ((w + A - 1) // A) * A

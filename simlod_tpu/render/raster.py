@@ -48,20 +48,25 @@ class Samples(NamedTuple):
 def gather_point_samples(cfg: EngineConfig, state: OctreeState,
                          emitted: jax.Array) -> Samples:
     """Expand the live segments of emitted nodes into a dense sample window
-    (aligned-row-gather: ~0.2 ns/point, see ops/ragged.py)."""
+    (aligned-row column gathers: ~0.05 ns/element, see ops/ragged.py)."""
     n_cap = state.child_base.shape[0]
-    sn = state.seg_data[:, 0]
-    ok = (state.seg_data[:, 2] > 0) & (sn >= 0) & gather1d(
+    sn = state.seg_node
+    ok = (state.seg_cnt > 0) & (sn >= 0) & gather1d(
         emitted.astype(jnp.int32), jnp.clip(sn, 0, n_cap - 1)).astype(bool)
-    counts = jnp.where(ok, state.seg_data[:, 2], 0)
-    offs = jnp.where(ok, state.seg_data[:, 1], 0)
-    W = (cfg.max_render_points // 32) * 32
-    rows, seg_of, _elem, valid = ragged.ragged_gather(state.pt_data, offs, counts, W)
-    node = jnp.where(valid, sn[seg_of], 0)
+    counts = jnp.where(ok, state.seg_cnt, 0)
+    offs = jnp.where(ok, state.seg_off, 0)
+    W = (cfg.max_render_points // 128) * 128
+    p = ragged.plan(offs, counts, W)
+    x = ragged.gather_column(p, state.pt_x)
+    y = ragged.gather_column(p, state.pt_y)
+    z = ragged.gather_column(p, state.pt_z)
+    rgba = jax.lax.bitcast_convert_type(
+        ragged.gather_column(p, jax.lax.bitcast_convert_type(
+            state.pt_rgba, jnp.float32)), jnp.uint32)
+    node = jnp.where(p.valid, sn[p.seg_of], 0)
     return Samples(
-        xyz=rows[:, :3],
-        rgba=jax.lax.bitcast_convert_type(rows[:, 3], jnp.uint32),
-        node=node, level=gather1d(state.level, node), valid=valid,
+        xyz=jnp.stack([x, y, z], axis=-1), rgba=rgba,
+        node=node, level=gather1d(state.level, node), valid=p.valid,
         count=jnp.minimum(jnp.sum(counts), W))
 
 
@@ -71,20 +76,21 @@ def gather_voxel_samples(cfg: EngineConfig, state: OctreeState,
     (reference sampleVoxel voxels.cu:103-115: nodeMin + nodeSize*(cell+0.5)/128)."""
     counts = jnp.where(emitted, state.vox_off[1:] - state.vox_off[:-1], 0)
     offs = jnp.where(emitted, state.vox_off[:-1], 0)
-    W = (cfg.max_render_voxels // 64) * 64
-    rows, node_of, _elem, valid = ragged.ragged_gather(state.vox_data, offs, counts, W)
-    cell = rows[:, 0]
-    rgba = jax.lax.bitcast_convert_type(rows[:, 1], jnp.uint32)
-    node = jnp.where(valid, node_of, 0)
-    # one packed row gather for level + coords
-    ntab = jnp.stack([state.level, state.nx, state.ny, state.nz], axis=-1)
-    nrow = ntab[node]
-    lvl = nrow[:, 0]
+    W = (cfg.max_render_voxels // 128) * 128
+    p = ragged.plan(offs, counts, W)
+    cell = ragged.gather_column(p, state.vox_cell)
+    rgba = jax.lax.bitcast_convert_type(
+        ragged.gather_column(p, jax.lax.bitcast_convert_type(
+            state.vox_rgba, jnp.int32).astype(jnp.int32)), jnp.uint32)
+    node = jnp.where(p.valid, p.seg_of, 0)
+    lvl = gather1d(state.level, node)
     size = state.cube_size / jnp.exp2(lvl.astype(jnp.float32))
     cxyz = jnp.stack(morton.cell_to_xyz(cell), -1).astype(jnp.float32)
-    nmin = state.box_min[None, :] + size[:, None] * nrow[:, 1:4].astype(jnp.float32)
+    nmin = state.box_min[None, :] + size[:, None] * jnp.stack(
+        [gather1d(state.nx, node), gather1d(state.ny, node),
+         gather1d(state.nz, node)], -1).astype(jnp.float32)
     xyz = nmin + size[:, None] * (cxyz + 0.5) / C.GRID_SIZE
-    return Samples(xyz=xyz, rgba=rgba, node=node, level=lvl, valid=valid,
+    return Samples(xyz=xyz, rgba=rgba, node=node, level=lvl, valid=p.valid,
                    count=jnp.minimum(jnp.sum(counts), W))
 
 
