@@ -64,26 +64,18 @@ def main() -> int:
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
     log(f"platform={platform} points={N_POINTS} step={cfg.step_points}")
-    # --- warm up (compile) on a throwaway state ---
-    t_c = time.perf_counter()
-    state = init_state(cfg, np.zeros(3, np.float32), box_max)
-    state = build.build_step(cfg, state, jnp.asarray(batches[0][0]),
-                             jnp.asarray(batches[0][1]), jnp.int32(batches[0][2]))
-    _ = int(state.num_nodes)
-    log(f"build_step compiled in {time.perf_counter()-t_c:.0f}s")
-    t_c = time.perf_counter()
-    state = build.compact_voxels_auto(cfg, state)
-    _ = int(state.num_nodes)
-    log(f"compact_voxels compiled in {time.perf_counter()-t_c:.0f}s")
-
     # --- pipelined ingest: all batches device-resident, one scan dispatch ---
     bx = jax.device_put(np.stack([b[0] for b in batches]))
     bc = jax.device_put(np.stack([b[1] for b in batches]))
     bn = jax.device_put(np.asarray([b[2] for b in batches], np.int32))
+    # full untimed warm pass so every program — including the FINAL compaction
+    # window, which depends on the final store size — compiles before timing
+    t_c = time.perf_counter()
     state = init_state(cfg, np.zeros(3, np.float32), box_max)
-    state = build.build_many(cfg, state, bx, bc, bn)   # compile
+    state = build.build_many(cfg, state, bx, bc, bn)
+    state = build.compact_voxels_auto(cfg, state)
     _ = int(state.num_nodes)
-    log("build_many compiled")
+    log(f"warm pass (all compiles) in {time.perf_counter()-t_c:.0f}s")
     state = init_state(cfg, np.zeros(3, np.float32), box_max)
     jax.block_until_ready(state.num_nodes)
     t0 = time.perf_counter()

@@ -62,6 +62,18 @@ def quantize(xyz: jnp.ndarray, box_min: jnp.ndarray, cube_size: jnp.ndarray,
     return jnp.clip(q, 0, (1 << bits) - 1)
 
 
+def quantize_cols(x, y, z, box_min, cube_size, bits: int = C.FULL_GRID_BITS):
+    """Column-wise quantize (identical math; avoids [N,3] stacks, which lane-pad 32x
+    on TPU)."""
+    g = jnp.float32(1 << bits)
+    inv = g / cube_size.astype(jnp.float32)
+    lo, hi = 0, (1 << bits) - 1
+    qx = jnp.clip(jnp.floor((x - box_min[0]) * inv).astype(jnp.int32), lo, hi)
+    qy = jnp.clip(jnp.floor((y - box_min[1]) * inv).astype(jnp.int32), lo, hi)
+    qz = jnp.clip(jnp.floor((z - box_min[2]) * inv).astype(jnp.int32), lo, hi)
+    return qx, qy, qz
+
+
 def encode(qx: jnp.ndarray, qy: jnp.ndarray, qz: jnp.ndarray):
     """Interleave 28-bit per-axis coords into 3 lexicographic int32 Morton words.
 
