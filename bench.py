@@ -54,11 +54,12 @@ def main() -> int:
     batches = []
     for s in range(n_steps):
         lo, hi = s * B, min((s + 1) * B, N_POINTS)
-        cx = np.zeros((B, 3), np.float32)
+        cols = [np.zeros((B,), np.float32) for _ in range(3)]
         cc = np.zeros((B,), np.uint32)
-        cx[: hi - lo] = xyz[lo:hi]
+        for a in range(3):
+            cols[a][: hi - lo] = xyz[lo:hi, a]
         cc[: hi - lo] = rgba[lo:hi]
-        batches.append((cx, cc, hi - lo))
+        batches.append((cols[0], cols[1], cols[2], cc, hi - lo))
 
     def log(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
@@ -66,20 +67,22 @@ def main() -> int:
     log(f"platform={platform} points={N_POINTS} step={cfg.step_points}")
     # --- pipelined ingest: all batches device-resident, one scan dispatch ---
     bx = jax.device_put(np.stack([b[0] for b in batches]))
-    bc = jax.device_put(np.stack([b[1] for b in batches]))
-    bn = jax.device_put(np.asarray([b[2] for b in batches], np.int32))
+    by = jax.device_put(np.stack([b[1] for b in batches]))
+    bz = jax.device_put(np.stack([b[2] for b in batches]))
+    bc = jax.device_put(np.stack([b[3] for b in batches]))
+    bn = jax.device_put(np.asarray([b[4] for b in batches], np.int32))
     # full untimed warm pass so every program — including the FINAL compaction
     # window, which depends on the final store size — compiles before timing
     t_c = time.perf_counter()
     state = init_state(cfg, np.zeros(3, np.float32), box_max)
-    state = build.build_many(cfg, state, bx, bc, bn)
+    state = build.build_many(cfg, state, bx, by, bz, bc, bn)
     state = build.compact_voxels_auto(cfg, state)
     _ = int(state.num_nodes)
     log(f"warm pass (all compiles) in {time.perf_counter()-t_c:.0f}s")
     state = init_state(cfg, np.zeros(3, np.float32), box_max)
     jax.block_until_ready(state.num_nodes)
     t0 = time.perf_counter()
-    state = build.build_many(cfg, state, bx, bc, bn)
+    state = build.build_many(cfg, state, bx, by, bz, bc, bn)
     state = build.compact_voxels_auto(cfg, state)
     num_nodes = int(state.num_nodes)  # forces completion
     t_build = time.perf_counter() - t0

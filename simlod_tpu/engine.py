@@ -35,9 +35,9 @@ from .render.render import FrameStats, render_frame, render_frame_impl
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3), donate_argnums=1)
 def _fused_step(cfg: EngineConfig, state: OctreeState, width: int, height: int,
-                xyz, rgba, count, uniforms: Uniforms):
+                x, y, z, rgba, count, uniforms: Uniforms):
     """One simultaneous build+render step (the two reference kernels fused)."""
-    state = build.build_step_impl(cfg, state, xyz, rgba, count)
+    state = build.build_step_impl(cfg, state, x, y, z, rgba, count)
     img, fstats = render_frame_impl(cfg, state, width, height, uniforms)
     return state, img, fstats
 
@@ -140,10 +140,10 @@ class Engine:
         return self.stream
 
     # --- construction ---
-    def ingest(self, xyz, rgba, count) -> None:
+    def ingest(self, x, y, z, rgba, count) -> None:
         """One build step; host-side compaction policy runs after."""
         t0 = time.perf_counter()
-        self.state = build.build_step(self.cfg, self.state, xyz, rgba,
+        self.state = build.build_step(self.cfg, self.state, x, y, z, rgba,
                                       jnp.asarray(count, jnp.int32))
         self._maybe_compact()
         jax.block_until_ready(self.state.num_nodes)
@@ -161,8 +161,8 @@ class Engine:
             # reference treats capacity-reached as end of load (:1216-1219)
             self.last_batch_finished = True
             return False
-        xyz, rgba, count = item
-        self.ingest(xyz, rgba, count)
+        x, y, z, rgba, count = item
+        self.ingest(x, y, z, rgba, count)
         return True
 
     def _maybe_compact(self, force: bool = False):
@@ -208,11 +208,11 @@ class Engine:
                 self.last_batch_finished = True
         if item is None:
             return self.render(width, height)
-        xyz, rgba, count = item
+        x, y, z, rgba, count = item
         u = self.uniforms(width, height)
         t0 = time.perf_counter()
         self.state, img, fstats = _fused_step(
-            self.cfg, self.state, width, height, xyz, rgba,
+            self.cfg, self.state, width, height, x, y, z, rgba,
             jnp.asarray(count, jnp.int32), u)
         img.block_until_ready()
         self.t_fused.add(time.perf_counter() - t0)

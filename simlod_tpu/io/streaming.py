@@ -158,18 +158,19 @@ class PointStream:
         import jax
 
         B = self.step_points
-        acc_xyz = np.zeros((B, 3), np.float32)
+        # separate coordinate columns: a [B,3] device array lane-pads 32x on TPU
+        acc = [np.zeros((B,), np.float32) for _ in range(3)]
         acc_rgba = np.zeros((B,), np.uint32)
         fill = 0
 
         def flush():
-            nonlocal acc_xyz, acc_rgba, fill
+            nonlocal acc, acc_rgba, fill
             if fill == 0:
                 return
-            xd = jax.device_put(acc_xyz, self.device)
+            cols = [jax.device_put(a, self.device) for a in acc]
             cd = jax.device_put(acc_rgba, self.device)
-            self._ready.put((xd, cd, fill))   # blocks = backpressure
-            acc_xyz = np.zeros((B, 3), np.float32)
+            self._ready.put((cols[0], cols[1], cols[2], cd, fill))  # backpressure
+            acc = [np.zeros((B,), np.float32) for _ in range(3)]
             acc_rgba = np.zeros((B,), np.uint32)
             fill = 0
 
@@ -181,7 +182,8 @@ class PointStream:
             off = 0
             while off < len(xyz):
                 take = min(B - fill, len(xyz) - off)
-                acc_xyz[fill:fill + take] = xyz[off:off + take]
+                for a in range(3):
+                    acc[a][fill:fill + take] = xyz[off:off + take, a]
                 acc_rgba[fill:fill + take] = rgba[off:off + take]
                 fill += take
                 off += take

@@ -84,19 +84,18 @@ def _leaf_boundary_keys(state: OctreeState):
             jnp.where(is_lb, k2, mx), is_lb)
 
 
-def route(state: OctreeState, xyz: jax.Array, rgba: jax.Array,
-          count: jax.Array) -> Work:
+def route(state: OctreeState, x: jax.Array, y: jax.Array, z: jax.Array,
+          rgba: jax.Array, count: jax.Array) -> Work:
     """Sort the batch by Morton code and assign each point its current leaf.
 
     Replaces the reference's per-point root->leaf pointer traversal
     (progressive_octree_voxels.cu:169-187) with a single merge-sort against the
     active-leaf Morton boundary table.
     """
-    B = xyz.shape[0]
-    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
-    q = morton.quantize(xyz, state.box_min, state.cube_size)
+    B = x.shape[0]
+    qx, qy, qz = morton.quantize_cols(x, y, z, state.box_min, state.cube_size)
     valid = jnp.arange(B, dtype=jnp.int32) < count
-    pk0, pk1, pk2 = _point_keys(q[:, 0], q[:, 1], q[:, 2], valid)
+    pk0, pk1, pk2 = _point_keys(qx, qy, qz, valid)
 
     bk0, bk1, bk2, is_lb = _leaf_boundary_keys(state)
     n_cap = bk0.shape[0]
@@ -130,10 +129,8 @@ def route(state: OctreeState, xyz: jax.Array, rgba: jax.Array,
     (cx, cy, cz, cc, cpack), _ = compact_mask_via_sort(
         styp == 1, (sx, sy, sz, sc, row_pack))
     cx, cy, cz, cc, cpack = cx[:B], cy[:B], cz[:B], cc[:B], cpack[:B]
-    cq = morton.quantize(jnp.stack([cx, cy, cz], axis=-1),
-                         state.box_min, state.cube_size)
-    return Work(x=cx, y=cy, z=cz, rgba=cc,
-                qx=cq[:, 0], qy=cq[:, 1], qz=cq[:, 2],
+    cqx, cqy, cqz = morton.quantize_cols(cx, cy, cz, state.box_min, state.cube_size)
+    return Work(x=cx, y=cy, z=cz, rgba=cc, qx=cqx, qy=cqy, qz=cqz,
                 leaf=cpack >> 5, lvl=cpack & 31, count=count)
 
 
@@ -274,11 +271,10 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
         gc = jax.lax.bitcast_convert_type(
             ragged.gather_column(rplan, jax.lax.bitcast_convert_type(
                 state.pt_rgba, jnp.float32)), jnp.uint32)
-        gxyz = jnp.stack([gx, gy, gz], axis=-1)
         gnode = snode[segrow]
         glvl = snlvl[segrow]
-        gq = morton.quantize(gxyz, state.box_min, state.cube_size)
-        gqx, gqy, gqz = gq[:, 0], gq[:, 1], gq[:, 2]
+        gqx, gqy, gqz = morton.quantize_cols(gx, gy, gz, state.box_min,
+                                             state.cube_size)
 
         # voxel candidates of the newly inner node, first-in-cell within each segment.
         # NOTE: a segment's first VALID row is elem == 0 — junk alignment rows before
@@ -489,14 +485,16 @@ def insert_points(cfg: EngineConfig, state: OctreeState, work: Work):
     return state
 
 
-def build_step_impl(cfg: EngineConfig, state: OctreeState, xyz: jax.Array,
-                    rgba: jax.Array, count: jax.Array) -> OctreeState:
+def build_step_impl(cfg: EngineConfig, state: OctreeState, x: jax.Array,
+                    y: jax.Array, z: jax.Array, rgba: jax.Array,
+                    count: jax.Array) -> OctreeState:
     """Ingest one batch: route -> split loop -> voxel sampling -> insert.
 
-    The whole step is one fused jit program — the TPU analogue of one cooperative
-    kernel_construct launch (XLA op boundaries play the role of grid.sync()).
+    Coordinates arrive as three 1-D columns (a [B,3] device array would lane-pad
+    32x in HBM). The whole step is one fused jit program — the TPU analogue of one
+    cooperative kernel_construct launch (XLA op boundaries are the grid.sync()s).
     """
-    work = route(state, xyz, rgba, count)
+    work = route(state, x, y, z, rgba, count)
     state, work = split_loop(cfg, state, work)
     state = batch_voxel_candidates(cfg, state, work)
     state = insert_points(cfg, state, work)
@@ -507,7 +505,8 @@ build_step = functools.partial(jax.jit, static_argnums=0,
                                donate_argnums=1)(build_step_impl)
 
 
-def build_many_impl(cfg: EngineConfig, state: OctreeState, xyz_batches: jax.Array,
+def build_many_impl(cfg: EngineConfig, state: OctreeState, x_batches: jax.Array,
+                    y_batches: jax.Array, z_batches: jax.Array,
                     rgba_batches: jax.Array, counts: jax.Array) -> OctreeState:
     """Ingest K batches in one program via lax.scan (pipelined ingest).
 
@@ -518,10 +517,11 @@ def build_many_impl(cfg: EngineConfig, state: OctreeState, xyz_batches: jax.Arra
     """
 
     def body(st, inp):
-        bx, bc, n = inp
-        return build_step_impl(cfg, st, bx, bc, n), None
+        bx, by, bz, bc, n = inp
+        return build_step_impl(cfg, st, bx, by, bz, bc, n), None
 
-    state, _ = jax.lax.scan(body, state, (xyz_batches, rgba_batches, counts))
+    state, _ = jax.lax.scan(
+        body, state, (x_batches, y_batches, z_batches, rgba_batches, counts))
     return state
 
 

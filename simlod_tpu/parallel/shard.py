@@ -84,21 +84,19 @@ def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int):
     n = mesh.devices.size
     level = brick_level_for(n)
 
-    def local_step(state, xyz, rgba, count, uniforms):
-        state = jax.tree.map(lambda x: jnp.squeeze(x, 0), state)
+    def local_step(state, x, y, z, rgba, count, uniforms):
+        state = jax.tree.map(lambda a: jnp.squeeze(a, 0), state)
 
         # route: keep only this device's points (replicated batch, local mask)
-        q = morton.quantize(xyz, state.box_min, state.cube_size)
-        owner = _brick_owner(q[:, 0], q[:, 1], q[:, 2], level, n)
+        qx, qy, qz = morton.quantize_cols(x, y, z, state.box_min, state.cube_size)
+        owner = _brick_owner(qx, qy, qz, level, n)
         dev = jax.lax.axis_index(AXIS).astype(jnp.int32)
-        rows = jnp.arange(xyz.shape[0], dtype=jnp.int32)
+        rows = jnp.arange(x.shape[0], dtype=jnp.int32)
         mine = (rows < count) & (owner == dev)
-        (sx, sy, sz, sc), my_count = compact_mask_via_sort(
-            mine, (xyz[:, 0], xyz[:, 1], xyz[:, 2], rgba))
-        my_xyz = jnp.stack([sx, sy, sz], -1)
+        (sx, sy, sz, sc), my_count = compact_mask_via_sort(mine, (x, y, z, rgba))
 
         # local build + voxel compaction (keeps the CSR fresh for rendering)
-        state = build.build_step_impl(cfg, state, my_xyz, sc, my_count)
+        state = build.build_step_impl(cfg, state, sx, sy, sz, sc, my_count)
         state = build.compact_voxels_impl(cfg, state)
 
         # local render (pre-EDL), then cross-chip depth-min composite
@@ -116,14 +114,14 @@ def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int):
         comp_color = jax.lax.psum(jnp.where(is_winner, color, jnp.uint32(0)), AXIS)
         img = raster.edl(comp_color, gmin, uniforms, width, height)
 
-        state = jax.tree.map(lambda x: x[None], state)
+        state = jax.tree.map(lambda a: a[None], state)
         return state, img.reshape(height, width), my_count[None]
 
-    def step(state, xyz, rgba, count, uniforms):
+    def step(state, x, y, z, rgba, count, uniforms):
         return shard_map(
             local_step, mesh=mesh,
-            in_specs=(P(AXIS), P(), P(), P(), P()),
+            in_specs=(P(AXIS), P(), P(), P(), P(), P(), P()),
             out_specs=(P(AXIS), P(), P(AXIS)),
-        )(state, xyz, rgba, count, uniforms)
+        )(state, x, y, z, rgba, count, uniforms)
 
     return jax.jit(step, donate_argnums=0)

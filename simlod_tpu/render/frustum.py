@@ -26,6 +26,20 @@ def frustum_planes(m: jnp.ndarray) -> jnp.ndarray:
     return planes / jnp.maximum(n, 1e-30)
 
 
+def intersects_frustum_cols(planes, mnx, mny, mnz, mxx, mxy, mxz):
+    """Column-wise p-vertex test over 1-D AABB coordinate arrays (no [N,3] stacks)."""
+    ok = None
+    for i in range(6):
+        nx, ny, nz, d = planes[i, 0], planes[i, 1], planes[i, 2], planes[i, 3]
+        px = jnp.where(nx > 0, mxx, mnx)
+        py = jnp.where(ny > 0, mxy, mny)
+        pz = jnp.where(nz > 0, mxz, mnz)
+        dist = px * nx + py * ny + pz * nz + d
+        good = dist >= 0.0
+        ok = good if ok is None else (ok & good)
+    return ok
+
+
 def intersects_frustum(planes: jnp.ndarray, box_min: jnp.ndarray,
                        box_max: jnp.ndarray) -> jnp.ndarray:
     """Vectorized p-vertex test: box_min/box_max are [N,3]; returns [N] bool.

@@ -37,10 +37,17 @@ DEPTH_INF = jnp.int32(C.DEPTH_INF_BITS)
 
 
 class Samples(NamedTuple):
-    xyz: jax.Array      # [S,3] f32 world positions
+    """Column-form sample set ([S,k] stacks lane-pad 32x on TPU, so columns only).
+
+    node/level are THUNKS (zero-arg callables evaluated inside a lax.cond) because
+    they cost a gather each and are only needed for the colorByNode/colorByLOD debug
+    modes (reference render.cu:74-78)."""
+    x: jax.Array        # [S] f32 world positions
+    y: jax.Array
+    z: jax.Array
     rgba: jax.Array     # [S] u32
-    node: jax.Array     # [S] i32 owning node (for colorByNode/LOD)
-    level: jax.Array    # [S] i32
+    node_fn: object     # () -> [S] i32 owning node
+    level_fn: object    # () -> [S] i32 node level
     valid: jax.Array    # [S] bool
     count: jax.Array    # i32
 
@@ -63,10 +70,16 @@ def gather_point_samples(cfg: EngineConfig, state: OctreeState,
     rgba = jax.lax.bitcast_convert_type(
         ragged.gather_column(p, jax.lax.bitcast_convert_type(
             state.pt_rgba, jnp.float32)), jnp.uint32)
-    node = jnp.where(p.valid, sn[p.seg_of], 0)
+
+    def node_fn():
+        return jnp.where(p.valid, sn[p.seg_of], 0)
+
+    def level_fn():
+        return gather1d(state.level, node_fn())
+
     return Samples(
-        xyz=jnp.stack([x, y, z], axis=-1), rgba=rgba,
-        node=node, level=gather1d(state.level, node), valid=p.valid,
+        x=x, y=y, z=z, rgba=rgba,
+        node_fn=node_fn, level_fn=level_fn, valid=p.valid,
         count=jnp.minimum(jnp.sum(counts), W))
 
 
@@ -85,12 +98,18 @@ def gather_voxel_samples(cfg: EngineConfig, state: OctreeState,
     node = jnp.where(p.valid, p.seg_of, 0)
     lvl = gather1d(state.level, node)
     size = state.cube_size / jnp.exp2(lvl.astype(jnp.float32))
-    cxyz = jnp.stack(morton.cell_to_xyz(cell), -1).astype(jnp.float32)
-    nmin = state.box_min[None, :] + size[:, None] * jnp.stack(
-        [gather1d(state.nx, node), gather1d(state.ny, node),
-         gather1d(state.nz, node)], -1).astype(jnp.float32)
-    xyz = nmin + size[:, None] * (cxyz + 0.5) / C.GRID_SIZE
-    return Samples(xyz=xyz, rgba=rgba, node=node, level=lvl, valid=p.valid,
+    # float op order matches the reference exactly (sampleVoxel voxels.cu:103-115):
+    # nodeMin = X*nodeSize + min; voxel = nodeMin + nodeSize*(cell+0.5)/128
+    cxi, cyi, czi = morton.cell_to_xyz(cell)
+    g = jnp.float32(C.GRID_SIZE)
+    x = (gather1d(state.nx, node).astype(jnp.float32) * size + state.box_min[0]) \
+        + size * ((cxi.astype(jnp.float32) + 0.5) / g)
+    y = (gather1d(state.ny, node).astype(jnp.float32) * size + state.box_min[1]) \
+        + size * ((cyi.astype(jnp.float32) + 0.5) / g)
+    z = (gather1d(state.nz, node).astype(jnp.float32) * size + state.box_min[2]) \
+        + size * ((czi.astype(jnp.float32) + 0.5) / g)
+    return Samples(x=x, y=y, z=z, rgba=rgba, node_fn=lambda: node,
+                   level_fn=lambda: lvl, valid=p.valid,
                    count=jnp.minimum(jnp.sum(counts), W))
 
 
@@ -101,24 +120,34 @@ def _lod_color(level: jax.Array) -> jax.Array:
 
 
 def _sample_colors(s: Samples, uniforms: Uniforms) -> jax.Array:
-    color = s.rgba
-    color = jnp.where(uniforms.color_by_node,
-                      ((s.node % 127).astype(jnp.uint32)
-                       * jnp.uint32(123456789)), color)
-    color = jnp.where(uniforms.color_by_lod, _lod_color(s.level), color)
-    color = jnp.where(uniforms.color_white, jnp.uint32(0x00FFFFFF), color)
-    return color
+    """Debug color modes run under a cond so their node/level gathers cost nothing
+    in the default path."""
+
+    def fancy(rgba):
+        node = s.node_fn()
+        color = jnp.where(uniforms.color_by_node,
+                          ((node % 127).astype(jnp.uint32)
+                           * jnp.uint32(123456789)), rgba)
+        color = jnp.where(uniforms.color_by_lod, _lod_color(s.level_fn()), color)
+        return jnp.where(uniforms.color_white, jnp.uint32(0x00FFFFFF), color)
+
+    any_mode = (uniforms.color_by_node | uniforms.color_by_lod
+                | uniforms.color_white)
+    return jax.lax.cond(any_mode, fancy, lambda c: c, s.rgba)
 
 
 def _project(s: Samples, uniforms: Uniforms):
     """Project samples; returns (x, y, depth, ok) with the reference's window guard
-    x in (1, width-2), y in (1, height-2), depth > 0 (render.cu:290-298)."""
+    x in (1, width-2), y in (1, height-2), depth > 0 (render.cu:290-298).
+
+    Column-wise (12 FMAs on the VPU) — a [S,4] @ [4,4] formulation would move a
+    lane-padded [S,128] intermediate through HBM."""
     m = uniforms.transform
-    p = jnp.concatenate([s.xyz, jnp.ones((s.xyz.shape[0], 1), jnp.float32)], -1)
-    ndc = p @ m.T
-    wdepth = ndc[:, 3]
-    sx = (ndc[:, 0] / wdepth * 0.5 + 0.5) * uniforms.width
-    sy = (ndc[:, 1] / wdepth * 0.5 + 0.5) * uniforms.height
+    ndc0 = s.x * m[0, 0] + s.y * m[0, 1] + s.z * m[0, 2] + m[0, 3]
+    ndc1 = s.x * m[1, 0] + s.y * m[1, 1] + s.z * m[1, 2] + m[1, 3]
+    wdepth = s.x * m[3, 0] + s.y * m[3, 1] + s.z * m[3, 2] + m[3, 3]
+    sx = (ndc0 / wdepth * 0.5 + 0.5) * uniforms.width
+    sy = (ndc1 / wdepth * 0.5 + 0.5) * uniforms.height
     x = sx.astype(jnp.int32)
     y = sy.astype(jnp.int32)
     ok = (s.valid & (x > 1) & (x.astype(jnp.float32) < uniforms.width - 2.0)

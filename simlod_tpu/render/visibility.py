@@ -10,6 +10,9 @@ take the screen-extent (dx, dy), frustum-test the box, then select:
 
   visible = intersects frustum AND has samples (points or voxels)
   isLarge = dx > 2*minNodeSize or dy > 2*minNodeSize        (render.cu:861)
+
+All math is column-wise over 1-D node arrays (no [N,8,4] corner tensors — narrow
+trailing dims lane-pad 32x on TPU).
 """
 from __future__ import annotations
 
@@ -40,28 +43,37 @@ def compute_visibility(state: OctreeState, uniforms: Uniforms) -> Visibility:
     active = ids < state.num_nodes
 
     size = state.cube_size / jnp.exp2(state.level.astype(jnp.float32))
-    mn = state.box_min[None, :] + size[:, None] * jnp.stack(
-        [state.nx, state.ny, state.nz], -1).astype(jnp.float32)
-    mx = mn + size[:, None]
+    mnx = state.box_min[0] + size * state.nx.astype(jnp.float32)
+    mny = state.box_min[1] + size * state.ny.astype(jnp.float32)
+    mnz = state.box_min[2] + size * state.nz.astype(jnp.float32)
+    mxx, mxy, mxz = mnx + size, mny + size, mnz + size
 
-    # 8 corners -> screen extents (reference render.cu:780-846)
-    octs = jnp.arange(8)
-    corners = jnp.stack([
-        jnp.where(((octs >> 2) & 1)[None, :] == 1, mx[:, 0:1], mn[:, 0:1]),
-        jnp.where(((octs >> 1) & 1)[None, :] == 1, mx[:, 1:2], mn[:, 1:2]),
-        jnp.where((octs & 1)[None, :] == 1, mx[:, 2:3], mn[:, 2:3]),
-        jnp.ones((n_cap, 8), jnp.float32),
-    ], axis=-1)                                           # [N,8,4]
-    m = uniforms.transform_update_bound                   # [4,4] row-major
-    ndc = jnp.einsum("nok,rk->nor", corners, m)           # [N,8,4]
-    w = ndc[..., 3]
-    sxy = (ndc[..., :2] / w[..., None] * 0.5 + 0.5) * jnp.stack(
-        [uniforms.width, uniforms.height])[None, None, :]
-    dx = jnp.max(sxy[..., 0], axis=1) - jnp.min(sxy[..., 0], axis=1)
-    dy = jnp.max(sxy[..., 1], axis=1) - jnp.min(sxy[..., 1], axis=1)
+    # 8 corners -> screen extents (reference render.cu:780-846), column-wise
+    m = uniforms.transform_update_bound
+    big = jnp.float32(3.4e38)
+    sminx = jnp.full((n_cap,), big)
+    smaxx = jnp.full((n_cap,), -big)
+    sminy = jnp.full((n_cap,), big)
+    smaxy = jnp.full((n_cap,), -big)
+    for c in range(8):
+        px = mxx if (c >> 2) & 1 else mnx
+        py = mxy if (c >> 1) & 1 else mny
+        pz = mxz if c & 1 else mnz
+        n0 = px * m[0, 0] + py * m[0, 1] + pz * m[0, 2] + m[0, 3]
+        n1 = px * m[1, 0] + py * m[1, 1] + pz * m[1, 2] + m[1, 3]
+        w = px * m[3, 0] + py * m[3, 1] + pz * m[3, 2] + m[3, 3]
+        sx = (n0 / w * 0.5 + 0.5) * uniforms.width
+        sy = (n1 / w * 0.5 + 0.5) * uniforms.height
+        sminx = jnp.minimum(sminx, sx)
+        smaxx = jnp.maximum(smaxx, sx)
+        sminy = jnp.minimum(sminy, sy)
+        smaxy = jnp.maximum(smaxy, sy)
+    dx = smaxx - sminx
+    dy = smaxy - sminy
 
     planes = frustum.frustum_planes(m)
-    in_frustum = frustum.intersects_frustum(planes, mn, mx)
+    in_frustum = frustum.intersects_frustum_cols(
+        planes, mnx, mny, mnz, mxx, mxy, mxz)
     has_samples = (state.num_points > 0) | (state.num_voxels > 0)
     visible = active & in_frustum & has_samples
     is_large = active & ((dx > 2.0 * uniforms.min_node_size)

@@ -34,8 +34,12 @@ def run_build(cfg, xyz, rgba, box_min, box_max, compact=True):
         pad = B - n
         cx = np.concatenate([chunk, np.zeros((pad, 3), np.float32)])
         cc = np.concatenate([cols, np.zeros((pad,), np.uint32)])
-        state = build.build_step(cfg, state, jnp.asarray(cx, jnp.float32),
-                                 jnp.asarray(cc, jnp.uint32), jnp.int32(n))
+        state = build.build_step(
+            cfg, state,
+            jnp.asarray(np.ascontiguousarray(cx[:, 0])),
+            jnp.asarray(np.ascontiguousarray(cx[:, 1])),
+            jnp.asarray(np.ascontiguousarray(cx[:, 2])),
+            jnp.asarray(cc, jnp.uint32), jnp.int32(n))
     if compact:
         state = build.compact_voxels(cfg, state)
     return state

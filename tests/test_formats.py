@@ -78,8 +78,8 @@ def test_stream_end_to_end(tmp_path, rng):
                          batch_points=7_000)
     total = 0
     seen_colors = []
-    for xd, cd, count in stream:
-        assert xd.shape == (1 << 12, 3)
+    for xd, yd, zd, cd, count in stream:
+        assert xd.shape == (1 << 12,)
         total += count
         seen_colors.append(np.asarray(cd)[:count])
     assert total == 30_000
@@ -96,8 +96,9 @@ def test_stream_union_box(tmp_path, rng):
     simlod.write(str(tmp_path / "b.simlod"), xyz + 500.0, rgba)
     stream = PointStream([str(tmp_path)], step_points=1 << 12)
     pts = []
-    for xd, cd, count in stream:
-        pts.append(np.asarray(xd)[:count])
+    for xd, yd, zd, cd, count in stream:
+        pts.append(np.stack([np.asarray(xd)[:count], np.asarray(yd)[:count],
+                             np.asarray(zd)[:count]], -1))
     allp = np.concatenate(pts)
     # all coordinates rebased into the union frame starting at ~0
     assert allp.min() >= -1e-3

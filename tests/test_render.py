@@ -32,8 +32,12 @@ def build_state(xyz, rgba, compact=True):
         c, k = xyz[s:s+B], rgba[s:s+B]
         cx = np.zeros((B, 3), np.float32); cx[:len(c)] = c
         cc = np.zeros((B,), np.uint32); cc[:len(c)] = k
-        state = build.build_step(CFG, state, jnp.asarray(cx), jnp.asarray(cc),
-                                 jnp.int32(len(c)))
+        state = build.build_step(
+            CFG, state,
+            jnp.asarray(np.ascontiguousarray(cx[:, 0])),
+            jnp.asarray(np.ascontiguousarray(cx[:, 1])),
+            jnp.asarray(np.ascontiguousarray(cx[:, 2])),
+            jnp.asarray(cc), jnp.int32(len(c)))
     if compact:
         state = build.compact_voxels(CFG, state)
     return state

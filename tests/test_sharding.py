@@ -55,8 +55,12 @@ def test_sharded_build_and_render(rng):
         chunk, cols = xyz[s:s + B], rgba[s:s + B]
         cx = np.zeros((B, 3), np.float32); cx[:len(chunk)] = chunk
         cc = np.zeros((B,), np.uint32); cc[:len(chunk)] = cols
-        sstate, img, counts = step(sstate, jnp.asarray(cx), jnp.asarray(cc),
-                                   jnp.int32(len(chunk)), u)
+        sstate, img, counts = step(
+            sstate,
+            jnp.asarray(np.ascontiguousarray(cx[:, 0])),
+            jnp.asarray(np.ascontiguousarray(cx[:, 1])),
+            jnp.asarray(np.ascontiguousarray(cx[:, 2])),
+            jnp.asarray(cc), jnp.int32(len(chunk)), u)
         total += int(np.asarray(counts).sum())
     assert total == 20_000  # routing partitions the batch exactly
 
@@ -77,8 +81,12 @@ def test_sharded_build_and_render(rng):
         chunk, cols = xyz[s:s + B], rgba[s:s + B]
         cx = np.zeros((B, 3), np.float32); cx[:len(chunk)] = chunk
         cc = np.zeros((B,), np.uint32); cc[:len(chunk)] = cols
-        state1 = build.build_step(CFG, state1, jnp.asarray(cx), jnp.asarray(cc),
-                                  jnp.int32(len(chunk)))
+        state1 = build.build_step(
+            CFG, state1,
+            jnp.asarray(np.ascontiguousarray(cx[:, 0])),
+            jnp.asarray(np.ascontiguousarray(cx[:, 1])),
+            jnp.asarray(np.ascontiguousarray(cx[:, 2])),
+            jnp.asarray(cc), jnp.int32(len(chunk)))
     state1 = build.compact_voxels(CFG, state1)
     img1, _ = render_frame(CFG, state1, W, H, u)
     img1 = np.asarray(img1)
