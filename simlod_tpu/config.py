@@ -44,7 +44,9 @@ class EngineConfig:
                                           # (reference: 10M scratch, voxels.cu:846)
     max_splits_per_round: int = 1024      # split nodes processed per split-loop round
                                           # (reference: 100k spillingNodes scratch, :843)
-    seg_select_cap: int = 32768           # segments subdivided per split-loop round
+    seg_select_cap: int = 4096            # segments subdivided per split-loop round
+                                          # (also sizes the spill gather window's
+                                          # per-segment alignment padding)
     run_window: int = 1 << 17             # per-step leaf-run window (distinct leaves
                                           # touched per step; overflow sets the flag)
     split_rounds: int = 24                # max split-loop rounds per step (reference caps

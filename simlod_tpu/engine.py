@@ -166,6 +166,11 @@ class Engine:
         return True
 
     def _maybe_compact(self, force: bool = False):
+        # poll the device watermark only every few steps (each poll syncs the stream)
+        self._steps_since_poll = getattr(self, "_steps_since_poll", 0) + 1
+        if not force and self._steps_since_poll < 4:
+            return
+        self._steps_since_poll = 0
         used = int(self.state.vox_used)
         threshold = max(int(self._last_compacted
                             * (1.0 + self.cfg.voxel_compact_slack)),

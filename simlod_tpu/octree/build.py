@@ -146,23 +146,35 @@ def _batch_run_counts(state: OctreeState, work: Work):
         jnp.where(starts & valid, sums, 0), mode="drop")
 
 
-def _append_voxels(state: OctreeState, node, cell, rgba, emit_mask):
-    """Append candidate voxels (possibly duplicating existing cells; lazy dedup)."""
-    v_cap = state.vox_node.shape[0]
-    rank = jnp.cumsum(emit_mask.astype(jnp.int32)) - 1
-    pos = state.vox_used + rank
-    fit = emit_mask & (pos < v_cap)
-    widx = jnp.where(fit, pos, v_cap)
-    state.vox_node = state.vox_node.at[widx].set(node, mode="drop")
-    state.vox_cell = state.vox_cell.at[widx].set(cell, mode="drop")
-    state.vox_rgba = state.vox_rgba.at[widx].set(rgba, mode="drop")
-    n_new = jnp.sum(fit.astype(jnp.int32))
+def _append_voxels(cfg: EngineConfig, state: OctreeState, node, cell, rgba,
+                   emit_mask):
+    """Append candidate voxels (possibly duplicating existing cells; lazy dedup).
+
+    Emitted rows are first compacted to the front with one stable sort, then written
+    with contiguous dynamic-update-slices — random scatters cost ~20 ns per ATTEMPTED
+    row (mask or not), while sort+DUS is ~6x cheaper at these widths.
+    """
+    # watermark never exceeds the LOGICAL capacity; the physical arrays are padded
+    # by the largest append window (structures._cand_capacity), so the full-window
+    # dynamic-update-slice below always stays in bounds with start == vox_used.
+    # Rows past n_new inside the window are garbage beyond the watermark and are
+    # overwritten by later appends.
+    (cnode, ccell, crgba), n_emit = compact_mask_via_sort(
+        emit_mask, (node, cell, jax.lax.bitcast_convert_type(rgba, jnp.int32)))
+    room = jnp.maximum(cfg.voxel_capacity - state.vox_used, 0)
+    n_new = jnp.minimum(n_emit, room)
+    start = state.vox_used
+    state.vox_node = jax.lax.dynamic_update_slice(state.vox_node, cnode, (start,))
+    state.vox_cell = jax.lax.dynamic_update_slice(state.vox_cell, ccell, (start,))
+    state.vox_rgba = jax.lax.dynamic_update_slice(
+        state.vox_rgba, jax.lax.bitcast_convert_type(crgba, jnp.uint32), (start,))
     state.vox_used = state.vox_used + n_new
-    state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(emit_mask & ~fit)
+    state.mem_capacity_reached = state.mem_capacity_reached | (n_emit > room)
     # approximate per-node voxel counts (corrected exactly at compaction)
     n_cap = state.child_base.shape[0]
+    rowi = jnp.arange(cnode.shape[0], dtype=jnp.int32)
     state.num_voxels = state.num_voxels.at[
-        jnp.where(fit, node, n_cap)].add(1, mode="drop")
+        jnp.where(rowi < n_new, cnode, n_cap)].add(1, mode="drop")
     return state
 
 
@@ -286,7 +298,7 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
                         | (pfz != jnp.roll(pfz, 1)))
         first_cell = rvalid & (seg_first | cell_changed)
         cell = morton.cell_at_level(gqx, gqy, gqz, glvl)
-        state = _append_voxels(state, gnode, cell, gc, first_cell)
+        state = _append_voxels(cfg, state, gnode, cell, gc, first_cell)
 
         # sub-segment surgery: runs of (segment, octant) become child segments
         goct = morton.octant_at_level(gqx, gqy, gqz, glvl)
@@ -414,7 +426,7 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
 
     cell = morton.cell_at_level(sqx, sqy, sqz, lvl_out)
     node = gather1d(state.anc, sleaf * (C.MAX_DEPTH + 1) + lvl_out)
-    state = _append_voxels(state, node, cell, color, jvalid)
+    state = _append_voxels(cfg, state, node, cell, color, jvalid)
     state.mem_capacity_reached = state.mem_capacity_reached | drop_tail
     return state
 

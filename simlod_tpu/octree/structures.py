@@ -146,9 +146,12 @@ def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
 
 
 def _cand_capacity(cfg: EngineConfig) -> int:
-    """Voxel-store slack so a full step's candidate appends always have room
-    (appends are bounds-checked scatters; this pad just avoids premature overflow)."""
-    return cfg.candidate_factor * cfg.step_points + cfg.spill_capacity
+    """Voxel-store physical padding: must cover the LARGEST single append window so
+    the contiguous watermark writes in build._append_voxels stay in bounds
+    (vox_used itself never exceeds cfg.voxel_capacity)."""
+    from ..ops import ragged
+    spill_window = ragged.window_for(cfg.spill_capacity, cfg.seg_select_cap)
+    return max(cfg.candidate_factor * cfg.step_points, spill_window) + 256
 
 
 def node_min_size(state: OctreeState, ids=None):
