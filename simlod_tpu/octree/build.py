@@ -134,16 +134,24 @@ def route(state: OctreeState, x: jax.Array, y: jax.Array, z: jax.Array,
                 leaf=cpack >> 5, lvl=cpack & 31, count=count)
 
 
-def _batch_run_counts(state: OctreeState, work: Work):
-    """Per-leaf counts of the current batch assignment, as a dense [node_cap] array."""
+def _batch_run_counts(state: OctreeState, work: Work, run_window: int = 1 << 17):
+    """Per-leaf counts of the current batch assignment, as a dense [node_cap] array.
+
+    Run-start rows are compacted with one sort before the scatter — a full-width
+    masked scatter costs ~20 ns per ATTEMPTED row."""
     B = work.leaf.shape[0]
     valid = jnp.arange(B, dtype=jnp.int32) < work.count
     starts = run_starts(work.leaf, valid)
     sums = run_reduce_sum(jnp.ones((B,), jnp.int32), starts, valid)
     n_cap = state.child_base.shape[0]
-    idx = jnp.where(starts & valid, work.leaf, n_cap)
-    return jnp.zeros((n_cap,), jnp.int32).at[idx].add(
-        jnp.where(starts & valid, sums, 0), mode="drop")
+    rw = min(run_window, B)
+    (r_leaf, r_sum), n_runs = compact_mask_via_sort(
+        starts & valid, (work.leaf, sums))
+    r_leaf = r_leaf[:rw]
+    r_sum = r_sum[:rw]
+    ok = jnp.arange(rw, dtype=jnp.int32) < n_runs
+    return jnp.zeros((n_cap,), jnp.int32).at[
+        jnp.where(ok, r_leaf, n_cap)].add(jnp.where(ok, r_sum, 0), mode="drop")
 
 
 def _append_voxels(cfg: EngineConfig, state: OctreeState, node, cell, rgba,
@@ -191,7 +199,7 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
     valid = jnp.arange(B, dtype=jnp.int32) < work.count
 
     # --- selection ---
-    counts_now = _batch_run_counts(state, work)
+    counts_now = _batch_run_counts(state, work, cfg.run_window)
     counter_eff = state.counter + counts_now
     ids = jnp.arange(n_cap, dtype=jnp.int32)
     over = ((ids < state.num_nodes) & (state.child_base < 0)
@@ -258,14 +266,12 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
         s_cap = state.seg_node.shape[0]
         s_sel = (state.seg_cnt > 0) & (state.seg_node >= 0) & \
             just[jnp.clip(state.seg_node, 0, n_cap - 1)]
-        sr = jnp.cumsum(s_sel.astype(jnp.int32)) - 1
         SS = cfg.seg_select_cap  # selected-segment window (selection respects this budget)
-        sel = jnp.full((SS,), -1, jnp.int32).at[
-            jnp.where(s_sel & (sr < SS), sr, SS)].set(
-                jnp.arange(s_cap, dtype=jnp.int32), mode="drop")
-        state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(s_sel & (sr >= SS))
-        sv = sel >= 0
-        ssafe = jnp.maximum(sel, 0)
+        (sel_full,), n_sel = compact_mask_via_sort(
+            s_sel, (jnp.arange(s_cap, dtype=jnp.int32),))
+        state.mem_capacity_reached = state.mem_capacity_reached | (n_sel > SS)
+        sv = jnp.arange(SS, dtype=jnp.int32) < n_sel
+        ssafe = jnp.where(sv, sel_full[:SS], 0)
         scnt = jnp.where(sv, state.seg_cnt[ssafe], 0)
         soff = state.seg_off[ssafe]
         snode = jnp.where(sv, state.seg_node[ssafe], 0)
@@ -337,9 +343,11 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
     state = jax.lax.cond(total_spill > 0, spill_block, lambda st: st, state)
 
     # --- re-route batch rows whose leaf just split (one level down) ---
+    # one fused lookup: cb_if_just[n] = child_base if the node split this round else -1
+    cb_if_just = jnp.where(just, state.child_base, -1)
     lsafe = jnp.clip(work.leaf, 0, n_cap - 1)
-    aff = valid & just[lsafe]
-    cb = state.child_base[lsafe]
+    cb = cb_if_just[lsafe]
+    aff = valid & (cb >= 0)
     new_leaf = jnp.where(
         aff, cb + morton.octant_at_level(work.qx, work.qy, work.qz, work.lvl),
         work.leaf)
