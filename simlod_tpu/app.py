@@ -49,6 +49,9 @@ def parse_args(argv=None):
     ap.add_argument("--color-by-lod", action="store_true")
     ap.add_argument("--color-by-node", action="store_true")
     ap.add_argument("--show-boxes", action="store_true")
+    ap.add_argument("--filter-colors", action="store_true",
+                    help="run the bottom-up voxel color filter after loading "
+                         "(the reference's disabled colorfilter pass, enabled here)")
     ap.add_argument("--json", action="store_true", help="print stats as JSON")
     return ap.parse_args(argv)
 
@@ -111,11 +114,17 @@ def main(argv=None) -> int:
     if n_frames == 0:
         while eng.ingest_next():
             pass
+        if args.filter_colors:
+            eng.filter_colors()
     else:
         # simultaneous build+render along an orbit path; keep rendering after the
         # stream drains so the user sees the finished cloud
         i = 0
+        filtered = False
         while not eng.last_batch_finished or i < n_frames:
+            if args.filter_colors and eng.last_batch_finished and not filtered:
+                eng.filter_colors()
+                filtered = True
             eng.orbit.yaw += 2.0 * np.pi / max(n_frames, 60)
             eng.camera.world = eng.orbit.world()
             img, stats = eng.frame(args.width, args.height)

@@ -182,6 +182,13 @@ class Engine:
             if int(self.state.num_segments) > self.cfg.segment_capacity // 2:
                 self.state = build.compact_segments(self.cfg, self.state)
 
+    def filter_colors(self) -> None:
+        """Bottom-up voxel color filtering (reference colorfilter.cu; see
+        octree/colorfilter.py). Compacts first for an exact CSR."""
+        from .octree import colorfilter
+        self._maybe_compact(force=True)
+        self.state = colorfilter.filter_colors(self.cfg, self.state)
+
     # --- rendering ---
     def uniforms(self, width: int, height: int) -> Uniforms:
         self.camera.width, self.camera.height = width, height

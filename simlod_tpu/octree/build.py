@@ -119,7 +119,7 @@ def route(state: OctreeState, x: jax.Array, y: jax.Array, z: jax.Array,
         (k0, k1, k2, typ,
          jnp.concatenate([x, zf]), jnp.concatenate([y, zf]),
          jnp.concatenate([z, zf]), jnp.concatenate([rgba, zu])),
-        num_keys=3, is_stable=True)
+        num_keys=3, is_stable=False)
 
     is_b = styp == 0
     bidx = jnp.cumsum(is_b.astype(jnp.int32)) - 1
@@ -155,7 +155,7 @@ def _batch_run_counts(state: OctreeState, work: Work, run_window: int = 1 << 17)
 
 
 def _append_voxels(cfg: EngineConfig, state: OctreeState, node, cell, rgba,
-                   emit_mask):
+                   emit_mask, count_window: int | None = None):
     """Append candidate voxels (possibly duplicating existing cells; lazy dedup).
 
     Emitted rows are first compacted to the front with one stable sort, then written
@@ -178,11 +178,15 @@ def _append_voxels(cfg: EngineConfig, state: OctreeState, node, cell, rgba,
         state.vox_rgba, jax.lax.bitcast_convert_type(crgba, jnp.uint32), (start,))
     state.vox_used = state.vox_used + n_new
     state.mem_capacity_reached = state.mem_capacity_reached | (n_emit > room)
-    # approximate per-node voxel counts (corrected exactly at compaction)
+    # approximate per-node voxel counts (corrected exactly at the next compaction);
+    # counting from a bounded slice of the compacted window keeps the scatter cheap —
+    # candidates beyond the slice are duplicate-heavy tails whose counts compaction
+    # fixes anyway
     n_cap = state.child_base.shape[0]
-    rowi = jnp.arange(cnode.shape[0], dtype=jnp.int32)
+    cw = min(count_window or cnode.shape[0], cnode.shape[0])
+    rowi = jnp.arange(cw, dtype=jnp.int32)
     state.num_voxels = state.num_voxels.at[
-        jnp.where(rowi < n_new, cnode, n_cap)].add(1, mode="drop")
+        jnp.where(rowi < n_new, cnode[:cw], n_cap)].add(1, mode="drop")
     return state
 
 
@@ -304,7 +308,8 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
                         | (pfz != jnp.roll(pfz, 1)))
         first_cell = rvalid & (seg_first | cell_changed)
         cell = morton.cell_at_level(gqx, gqy, gqz, glvl)
-        state = _append_voxels(cfg, state, gnode, cell, gc, first_cell)
+        state = _append_voxels(cfg, state, gnode, cell, gc, first_cell,
+                               count_window=cfg.step_points)
 
         # sub-segment surgery: runs of (segment, octant) become child segments
         goct = morton.octant_at_level(gqx, gqy, gqz, glvl)
@@ -434,7 +439,8 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
 
     cell = morton.cell_at_level(sqx, sqy, sqz, lvl_out)
     node = gather1d(state.anc, sleaf * (C.MAX_DEPTH + 1) + lvl_out)
-    state = _append_voxels(cfg, state, node, cell, color, jvalid)
+    state = _append_voxels(cfg, state, node, cell, color, jvalid,
+                           count_window=cfg.step_points)
     state.mem_capacity_reached = state.mem_capacity_reached | drop_tail
     return state
 

@@ -31,7 +31,6 @@ from ..octree.structures import OctreeState
 from ..ops import morton
 from ..ops.fastops import gather1d
 from ..ops import ragged
-from ..ops.segments import expand_segments
 
 DEPTH_INF = jnp.int32(C.DEPTH_INF_BITS)
 
