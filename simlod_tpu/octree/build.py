@@ -316,20 +316,26 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
         oct_changed = goct != jnp.roll(goct, 1)
         srun = rvalid & (seg_first | oct_changed)
         runlen = run_reduce_sum(jnp.ones((SPW,), jnp.int32), srun, rvalid)
-        brank = jnp.cumsum(srun.astype(jnp.int32)) - 1
         child_of_row = state.child_base[gnode] + goct
-        npos = state.num_segments + brank
-        fit = srun & (npos < s_cap)
+        # compact the run rows (<= 8 per subdivided segment) so directory writes and
+        # count updates scatter a small window instead of the whole spill window
+        RUNW = 8 * SS
+        (r_child, r_off, r_len), n_runs_all = compact_mask_via_sort(
+            srun, (child_of_row, soff[segrow] + elem, runlen))
+        r_child, r_off, r_len = r_child[:RUNW], r_off[:RUNW], r_len[:RUNW]
+        rok = jnp.arange(RUNW, dtype=jnp.int32) < n_runs_all
+        npos = state.num_segments + jnp.arange(RUNW, dtype=jnp.int32)
+        fit = rok & (npos < s_cap)
         widx = jnp.where(fit, npos, s_cap)
-        state.seg_node = state.seg_node.at[widx].set(child_of_row, mode="drop")
-        state.seg_off = state.seg_off.at[widx].set(soff[segrow] + elem, mode="drop")
-        state.seg_cnt = state.seg_cnt.at[widx].set(runlen, mode="drop")
+        state.seg_node = state.seg_node.at[widx].set(r_child, mode="drop")
+        state.seg_off = state.seg_off.at[widx].set(r_off, mode="drop")
+        state.seg_cnt = state.seg_cnt.at[widx].set(r_len, mode="drop")
         n_runs = jnp.sum(fit.astype(jnp.int32))
         state.num_segments = state.num_segments + n_runs
-        state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(srun & ~fit)
+        state.mem_capacity_reached = state.mem_capacity_reached | (n_runs_all > n_runs)
         # inherited counts: children take over the stored points they now own
-        addi = jnp.where(fit, child_of_row, n_cap)
-        addv = jnp.where(fit, runlen, 0)
+        addi = jnp.where(fit, r_child, n_cap)
+        addv = jnp.where(fit, r_len, 0)
         state.counter = state.counter.at[addi].add(addv, mode="drop")
         state.num_points = state.num_points.at[addi].add(addv, mode="drop")
         state.node_seg_count = state.node_seg_count.at[addi].add(
