@@ -33,12 +33,12 @@ from .render import camera as camera_mod
 from .render.render import FrameStats, render_frame, render_frame_impl
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3), donate_argnums=1)
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 9, 10), donate_argnums=1)
 def _fused_step(cfg: EngineConfig, state: OctreeState, width: int, height: int,
-                x, y, z, rgba, count, uniforms: Uniforms):
+                x, y, z, rgba, count, pw: int, vw: int, uniforms: Uniforms):
     """One simultaneous build+render step (the two reference kernels fused)."""
     state = build.build_step_impl(cfg, state, x, y, z, rgba, count)
-    img, fstats = render_frame_impl(cfg, state, width, height, uniforms)
+    img, fstats = render_frame_impl(cfg, state, width, height, uniforms, pw, vw)
     return state, img, fstats
 
 
@@ -199,14 +199,31 @@ class Engine:
         return Uniforms.make(width, height, t, self._transform_update_bound,
                              self.settings)
 
+    def _windows(self):
+        """Sample windows sized to the previous frame's visible counts (pow2 buckets;
+        at most log2 variants ever compile). A frame whose visibility outgrows the
+        bucket truncates once; the next frame upsizes."""
+        def bucket(n, cap):
+            n = max(int(n * 1.25) + 1024, 1 << 18)
+            return min(1 << (n - 1).bit_length(), cap)
+        pv, vv = getattr(self, "_last_visible", (1 << 20, 1 << 20))
+        return (bucket(pv, self.cfg.max_render_points),
+                bucket(vv, self.cfg.max_render_voxels))
+
+    def _note_visible(self, fstats):
+        self._last_visible = (int(fstats.num_visible_points),
+                              int(fstats.num_visible_voxels))
+
     def render(self, width: int, height: int):
         """Render-only frame -> (image u32 [H,W], Stats)."""
         self._maybe_compact(force=int(self.state.vox_used) > self._last_compacted)
         u = self.uniforms(width, height)
+        pw, vw = self._windows()
         t0 = time.perf_counter()
-        img, fstats = render_frame(self.cfg, self.state, width, height, u)
+        img, fstats = render_frame(self.cfg, self.state, width, height, u, pw, vw)
         img.block_until_ready()
         self.t_render.add(time.perf_counter() - t0)
+        self._note_visible(fstats)
         return img, _collect_stats(self.cfg, self.state, fstats)
 
     def frame(self, width: int, height: int):
@@ -222,12 +239,14 @@ class Engine:
             return self.render(width, height)
         x, y, z, rgba, count = item
         u = self.uniforms(width, height)
+        pw, vw = self._windows()
         t0 = time.perf_counter()
         self.state, img, fstats = _fused_step(
             self.cfg, self.state, width, height, x, y, z, rgba,
-            jnp.asarray(count, jnp.int32), u)
+            jnp.asarray(count, jnp.int32), pw, vw, u)
         img.block_until_ready()
         self.t_fused.add(time.perf_counter() - t0)
+        self._note_visible(fstats)
         self._maybe_compact()
         return img, _collect_stats(self.cfg, self.state, fstats)
 

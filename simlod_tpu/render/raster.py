@@ -52,7 +52,7 @@ class Samples(NamedTuple):
 
 
 def gather_point_samples(cfg: EngineConfig, state: OctreeState,
-                         emitted: jax.Array) -> Samples:
+                         emitted: jax.Array, window: int | None = None) -> Samples:
     """Expand the live segments of emitted nodes into a dense sample window
     (aligned-row column gathers: ~0.05 ns/element, see ops/ragged.py)."""
     n_cap = state.child_base.shape[0]
@@ -61,7 +61,7 @@ def gather_point_samples(cfg: EngineConfig, state: OctreeState,
         emitted.astype(jnp.int32), jnp.clip(sn, 0, n_cap - 1)).astype(bool)
     counts = jnp.where(ok, state.seg_cnt, 0)
     offs = jnp.where(ok, state.seg_off, 0)
-    W = (cfg.max_render_points // 128) * 128
+    W = ((window or cfg.max_render_points) // 128) * 128
     p = ragged.plan(offs, counts, W)
     x = ragged.gather_column(p, state.pt_x)
     y = ragged.gather_column(p, state.pt_y)
@@ -83,12 +83,12 @@ def gather_point_samples(cfg: EngineConfig, state: OctreeState,
 
 
 def gather_voxel_samples(cfg: EngineConfig, state: OctreeState,
-                         emitted: jax.Array) -> Samples:
+                         emitted: jax.Array, window: int | None = None) -> Samples:
     """Expand emitted nodes' voxel CSR ranges; positions are the stored cell centers
     (reference sampleVoxel voxels.cu:103-115: nodeMin + nodeSize*(cell+0.5)/128)."""
     counts = jnp.where(emitted, state.vox_off[1:] - state.vox_off[:-1], 0)
     offs = jnp.where(emitted, state.vox_off[:-1], 0)
-    W = (cfg.max_render_voxels // 128) * 128
+    W = ((window or cfg.max_render_voxels) // 128) * 128
     p = ragged.plan(offs, counts, W)
     cell = ragged.gather_column(p, state.vox_cell)
     rgba = jax.lax.bitcast_convert_type(

@@ -26,12 +26,16 @@ class FrameStats(NamedTuple):
 
 
 def render_frame_impl(cfg: EngineConfig, state: OctreeState, width: int, height: int,
-                      uniforms: Uniforms):
-    """Render one frame. Returns (rgba u32 [H, W], FrameStats)."""
+                      uniforms: Uniforms, point_window: int | None = None,
+                      voxel_window: int | None = None):
+    """Render one frame. Returns (rgba u32 [H, W], FrameStats).
+
+    point/voxel_window override the sample windows (the engine sizes them to the
+    previous frame's visible counts so sparse frames don't pay full-cap passes)."""
     vis = visibility.compute_visibility(state, uniforms)
 
-    pts = raster.gather_point_samples(cfg, state, vis.emitted)
-    vox = raster.gather_voxel_samples(cfg, state, vis.emitted)
+    pts = raster.gather_point_samples(cfg, state, vis.emitted, point_window)
+    vox = raster.gather_voxel_samples(cfg, state, vis.emitted, voxel_window)
     # honour showPoints: drop both sample sets (drawNodes* early-outs, render.cu:214)
     pts = pts._replace(valid=pts.valid & uniforms.show_points)
     vox = vox._replace(valid=vox.valid & uniforms.show_points)
@@ -59,7 +63,8 @@ def render_frame_impl(cfg: EngineConfig, state: OctreeState, width: int, height:
     return color.reshape(height, width), stats
 
 
-render_frame = functools.partial(jax.jit, static_argnums=(0, 2, 3))(render_frame_impl)
+render_frame = functools.partial(
+    jax.jit, static_argnums=(0, 2, 3, 5, 6))(render_frame_impl)
 
 
 def image_to_rgba8(img_u32) -> "np.ndarray":
