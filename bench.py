@@ -96,13 +96,21 @@ def main() -> int:
     c.world = orbit.world()
     u = Uniforms.make(WIDTH, HEIGHT, c.transform(), settings=Settings())
     t_c = time.perf_counter()
-    img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u)  # compile
+    img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u)  # compile (full caps)
     jax.block_until_ready(img)
     log(f"render compiled in {time.perf_counter()-t_c:.0f}s")
+    # engine-style adaptive windows from the measured visible counts
+    def bucket(n, cap):
+        n = max(int(n * 1.25) + 1024, 1 << 18)
+        return min(1 << (n - 1).bit_length(), cap)
+    pw = bucket(int(fstats.num_visible_points), cfg.max_render_points)
+    vw = bucket(int(fstats.num_visible_voxels), cfg.max_render_voxels)
+    img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw)  # compile bucket
+    jax.block_until_ready(img)
     t0 = time.perf_counter()
     n_frames = 5
     for _ in range(n_frames):
-        img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u)
+        img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw)
     jax.block_until_ready(img)
     render_ms = (time.perf_counter() - t0) / n_frames * 1e3
 
