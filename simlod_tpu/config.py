@@ -67,7 +67,7 @@ class EngineConfig:
     # candidate per point per ancestor level (max_depth+1); after in-batch first-in-cell
     # dedup a small factor suffices for real data. Overflow drops tail candidates and
     # raises mem_capacity_reached.
-    candidate_factor: int = 4
+    candidate_factor: int = 3
 
     # Voxel-store lazy-dedup compaction threshold: compact when the store holds more than
     # (1 + slack) x the entries present after the previous compaction.

@@ -401,15 +401,23 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     valid = jnp.arange(B, dtype=jnp.int32) < work.count
     nlev = jnp.maximum(work.lvl, 1)
 
-    bitmask = jnp.zeros((B,), jnp.uint32)
+    # levels above the tree's current max depth can't emit; bound both level loops
+    # dynamically (MAX_DEPTH=20 static iterations would triple the pass count)
+    n_cap_ids = jnp.arange(state.level.shape[0], dtype=jnp.int32)
+    max_lvl = jnp.max(jnp.where(n_cap_ids < state.num_nodes, state.level, 0))
+
     rowi = jnp.arange(B, dtype=jnp.int32)
-    for l in range(C.MAX_DEPTH + 1):
+
+    def emit_level(l, bitmask):
         shift = (C.MAX_DEPTH + 1) - l
         px, py, pz = work.qx >> shift, work.qy >> shift, work.qz >> shift
         changed = ((px != jnp.roll(px, 1)) | (py != jnp.roll(py, 1))
                    | (pz != jnp.roll(pz, 1)) | (rowi == 0))
         emit = (l < nlev) & changed & valid
-        bitmask = bitmask | (emit.astype(jnp.uint32) << l)
+        return bitmask | (emit.astype(jnp.uint32) << l)
+
+    bitmask = jax.lax.fori_loop(0, jnp.maximum(max_lvl, 1),
+                                emit_level, jnp.zeros((B,), jnp.uint32))
     cnt = popcount32(bitmask)
 
     CC = cfg.candidate_factor * B  # candidate window
@@ -435,13 +443,15 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     bm = srow[:, 5].astype(jnp.uint32)
     k = j - srow[:, 6]
 
-    lvl_out = jnp.zeros((CC,), jnp.int32)
-    cum = jnp.zeros((CC,), jnp.int32)
-    for l in range(C.MAX_DEPTH + 1):
+    def pick_level(l, carry):
+        lvl_out, cum = carry
         bit = ((bm >> l) & 1).astype(jnp.int32)
         hit = (bit == 1) & (cum == k)
-        lvl_out = jnp.where(hit, l, lvl_out)
-        cum = cum + bit
+        return jnp.where(hit, l, lvl_out), cum + bit
+
+    lvl_out, _ = jax.lax.fori_loop(
+        0, jnp.maximum(max_lvl, 1), pick_level,
+        (jnp.zeros((CC,), jnp.int32), jnp.zeros((CC,), jnp.int32)))
 
     cell = morton.cell_at_level(sqx, sqy, sqz, lvl_out)
     node = gather1d(state.anc, sleaf * (C.MAX_DEPTH + 1) + lvl_out)
