@@ -416,8 +416,11 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
         emit = (l < nlev) & changed & valid
         return bitmask | (emit.astype(jnp.uint32) << l)
 
+    # carry init derived from batch data so its varying-axes type matches the body
+    # under shard_map (same vma rule as split_loop's scalars)
     bitmask = jax.lax.fori_loop(0, jnp.maximum(max_lvl, 1),
-                                emit_level, jnp.zeros((B,), jnp.uint32))
+                                emit_level,
+                                (work.qx ^ work.qx).astype(jnp.uint32))
     cnt = popcount32(bitmask)
 
     CC = cfg.candidate_factor * B  # candidate window
@@ -449,9 +452,9 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
         hit = (bit == 1) & (cum == k)
         return jnp.where(hit, l, lvl_out), cum + bit
 
+    zero_cc = (bm ^ bm).astype(jnp.int32)
     lvl_out, _ = jax.lax.fori_loop(
-        0, jnp.maximum(max_lvl, 1), pick_level,
-        (jnp.zeros((CC,), jnp.int32), jnp.zeros((CC,), jnp.int32)))
+        0, jnp.maximum(max_lvl, 1), pick_level, (zero_cc, zero_cc))
 
     cell = morton.cell_at_level(sqx, sqy, sqz, lvl_out)
     node = gather1d(state.anc, sleaf * (C.MAX_DEPTH + 1) + lvl_out)
