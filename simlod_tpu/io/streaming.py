@@ -133,10 +133,19 @@ class PointStream:
                 ref = self._batches.popleft()
             e = ref.entry
             if e.kind == "simlod":
-                xyz, rgba = simlod.read_points(e.path, ref.first, ref.count)
-                # simlod files are already rebased to their own origin; shift into
-                # the union frame
-                xyz = xyz + (e.box_min + translation).astype(np.float32)[None, :]
+                # simlod files are rebased to their own origin; shift into the union
+                # frame. The native decoder fuses read+shift in one pass (C13 parity).
+                shift = (e.box_min + translation).astype(np.float32)
+                from .. import native
+                if native.available():
+                    mm = np.memmap(e.path, dtype=np.uint8, mode="r",
+                                   offset=simlod.HEADER_BYTES)
+                    raw = mm[ref.first * simlod.POINT_BYTES:
+                             (ref.first + ref.count) * simlod.POINT_BYTES]
+                    xyz, rgba = native.decode_simlod(raw, ref.count, shift)
+                else:
+                    xyz, rgba = simlod.read_points(e.path, ref.first, ref.count)
+                    xyz = xyz + shift[None, :]
                 self.bytes_read += ref.count * simlod.POINT_BYTES
             elif e.kind == "las":
                 xyz, rgba = las.read_points(e.header, ref.first, ref.count,
