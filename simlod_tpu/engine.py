@@ -203,12 +203,18 @@ class Engine:
         """Sample windows sized to the previous frame's visible counts (pow2 buckets;
         at most log2 variants ever compile). A frame whose visibility outgrows the
         bucket truncates once; the next frame upsizes."""
-        def bucket(n, cap):
-            n = max(int(n * 1.25) + 1024, 1 << 18)
+        def bucket(n, prev, cap):
+            # 1.6x headroom absorbs camera swings; shrink at most one bucket per
+            # frame so a single low-visibility frame doesn't cause next-frame
+            # truncation when the camera swings back
+            n = max(int(n * 1.6) + 1024, 1 << 18, prev >> 1)
             return min(1 << (n - 1).bit_length(), cap)
         pv, vv = getattr(self, "_last_visible", (1 << 20, 1 << 20))
-        return (bucket(pv, self.cfg.max_render_points),
-                bucket(vv, self.cfg.max_render_voxels))
+        ppw, pvw = getattr(self, "_last_windows", (1 << 20, 1 << 20))
+        pw = bucket(pv, ppw, self.cfg.max_render_points)
+        vw = bucket(vv, pvw, self.cfg.max_render_voxels)
+        self._last_windows = (pw, vw)
+        return pw, vw
 
     def _note_visible(self, fstats):
         self._last_visible = (int(fstats.num_visible_points),

@@ -39,7 +39,7 @@ from .. import constants as C
 from ..config import EngineConfig
 from ..ops import morton
 from ..ops.segments import (carry_last, compact_mask_via_sort, exclusive_cumsum,
-                            expand_segments, popcount32, run_reduce_sum, run_starts)
+                            popcount32, run_reduce_sum, run_starts)
 from ..ops.fastops import gather1d
 from ..ops import ragged
 from .structures import OctreeState
