@@ -17,6 +17,7 @@ import time
 import numpy as np
 
 N_POINTS = int(os.environ.get("BENCH_POINTS", 16_000_000))
+STEP_POINTS = int(os.environ.get("BENCH_STEP", 2 << 20))
 WIDTH, HEIGHT = 1920, 1080
 BASELINE_MPS = 400.0
 
@@ -40,8 +41,8 @@ def main() -> int:
         point_capacity=max(N_POINTS + (1 << 20), 1 << 24),
         voxel_capacity=1 << 26,
         segment_capacity=1 << 21,
-        step_points=2 << 20,
-        spill_capacity=2 << 20,
+        step_points=STEP_POINTS,
+        spill_capacity=STEP_POINTS,
         max_render_points=4 << 20,
         max_render_voxels=4 << 20,
     )
