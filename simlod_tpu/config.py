@@ -49,6 +49,9 @@ class EngineConfig:
                                           # per-segment alignment padding)
     run_window: int = 1 << 17             # per-step leaf-run window (distinct leaves
                                           # touched per step; overflow sets the flag)
+    boundary_window: int = 1 << 17        # leaf-boundary directory rows merged by
+                                          # route(); must cover the live leaf count
+                                          # (incl. stale split rows; overflow flags)
     split_rounds: int = 24                # max split-loop rounds per step (reference caps
                                           # expand() at 20 iterations, voxels.cu:394)
 
@@ -72,10 +75,6 @@ class EngineConfig:
     # Voxel-store lazy-dedup compaction threshold: compact when the store holds more than
     # (1 + slack) x the entries present after the previous compaction.
     voxel_compact_slack: float = 0.5
-
-    # Point-pool defragmentation threshold: defragment when dead (respilled) entries
-    # exceed this fraction of the pool watermark.
-    defrag_waste_fraction: float = 0.25
 
     @property
     def working_capacity(self) -> int:
@@ -180,8 +179,8 @@ class Stats:
     num_visible_voxels: jax.Array
     num_points_processed: jax.Array
     num_points_dropped: jax.Array         # overflow guard drops (capacity semantics)
+    num_candidates_dropped: jax.Array     # transient voxel-candidate window overflows
     pool_used: jax.Array
-    pool_waste: jax.Array
     num_segments: jax.Array
     mem_capacity_reached: jax.Array       # bool (reference: voxels.cu:896-912)
 
@@ -194,6 +193,7 @@ class Stats:
             num_visible_nodes=z, num_visible_inner=z, num_visible_leaves=z,
             num_visible_points=z, num_visible_voxels=z,
             num_points_processed=z, num_points_dropped=z,
-            pool_used=z, pool_waste=z, num_segments=z,
+            num_candidates_dropped=z,
+            pool_used=z, num_segments=z,
             mem_capacity_reached=jnp.zeros((), jnp.bool_),
         )

@@ -64,8 +64,8 @@ def _collect_stats(cfg: EngineConfig, state: OctreeState, fstats: FrameStats | N
         num_visible_voxels=fstats.num_visible_voxels if fstats else z,
         num_points_processed=state.num_points_processed,
         num_points_dropped=state.num_points_dropped,
+        num_candidates_dropped=state.num_candidates_dropped,
         pool_used=state.pool_used,
-        pool_waste=state.pool_waste,
         num_segments=state.num_segments,
         mem_capacity_reached=state.mem_capacity_reached,
     )

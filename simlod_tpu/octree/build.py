@@ -11,21 +11,27 @@ Reference behavior being reproduced (progressive_octree_voxels.cu):
 
 TPU-native design (none of this is a translation — the data movement is completely
 different):
-  - Routing points to leaves uses ONE multi-key sort instead of per-point pointer
-    descent: active-leaf Morton interval starts are merged with the batch's Morton
-    codes; after the sort every point's leaf is the nearest preceding boundary row.
-    (Measured on TPU v5e: a 3-key sort is ~5x cheaper than one full-width gather pass,
-    and descent would need `depth` gather passes.)
+  - Routing points to leaves uses ONE stable 2-key merge sort against a PERSISTENT
+    sorted leaf-boundary directory (state.b_key0/b_key1/b_pack): after the sort every
+    point's leaf is carried from the nearest preceding boundary row with a log-depth
+    take-last scan. The directory holds one row per leaf (plus stale rows from splits;
+    a stale parent's key equals its child 0's key and sorts before it, so the stale
+    row is never the carried winner). The reference instead pointer-descends every
+    point every phase (:169-187).
   - Splits NEVER move points. A stored segment is Morton-sorted, so a split is pure
     directory surgery: the segment's 8 child sub-ranges are found by octant run
     boundaries and become 8 child segments pointing into the same pool rows. The split
     node's points are gathered once, solely to voxel-sample the newly inner node
     (the reference re-inserts and re-counts all spilled points instead, :253-289).
+  - Split selection runs on the batch's RUN WINDOW (one row per (leaf, contiguous
+    Morton run)) — gathers and cumsums touch run_window rows, never the node
+    directory's full capacity.
   - Voxel first-come dedup is lazy: candidates are deduplicated within the batch by
     sorted-adjacency (equal cells are adjacent in Morton order), appended raw, and
     duplicates across steps are removed by periodic compaction of the (node, cell)
     sorted voxel store (first arrival wins — same winner set as the reference's
-    atomicOr race, but deterministic).
+    atomicOr race, but deterministic). Per-node voxel counts and the render CSR are
+    exact only after compaction (the engine compacts before rendering).
 """
 from __future__ import annotations
 
@@ -38,8 +44,8 @@ import jax.numpy as jnp
 from .. import constants as C
 from ..config import EngineConfig
 from ..ops import morton
-from ..ops.segments import (carry_last, compact_mask_via_sort, exclusive_cumsum,
-                            popcount32, run_reduce_sum, run_starts)
+from ..ops.segments import (compact_mask_via_sort, exclusive_cumsum,
+                            run_reduce_sum, run_starts, take_last)
 from ..ops.fastops import gather1d
 from ..ops import ragged
 from .structures import OctreeState
@@ -61,330 +67,378 @@ class Work(NamedTuple):
     count: jax.Array    # i32 scalar: rows [0, count) are valid
 
 
-def _point_keys(qx, qy, qz, valid):
-    w0, w1, w2 = morton.encode(qx, qy, qz)
-    k2 = (w2 << 1) | 1  # low flag bit: points sort after equal-key leaf boundaries
-    mx = jnp.int32(I32_MAX)
-    return (jnp.where(valid, w0, mx), jnp.where(valid, w1, mx),
-            jnp.where(valid, k2, mx))
+class Runs(NamedTuple):
+    """Per-(leaf, contiguous Morton run) view of the working batch.
+
+    Morton order makes each leaf's batch contribution one contiguous run, so this is
+    simultaneously the per-leaf batch histogram (split selection), the segment list
+    (insertion), and the re-route broadcast structure.
+    """
+    starts: jax.Array   # [B] bool run-start rows
+    r_leaf: jax.Array   # [RW] leaf id per run (compacted, ascending row order)
+    r_cnt: jax.Array    # [RW] run length
+    r_row: jax.Array    # [RW] work-row index of the run start
+    n_runs: jax.Array   # i32 total runs (> RW means the window overflowed)
 
 
-def _leaf_boundary_keys(state: OctreeState):
-    """Morton interval-start keys for active leaves (others pushed to +inf)."""
-    n_cap = state.child_base.shape[0]
-    ids = jnp.arange(n_cap, dtype=jnp.int32)
-    lvl = state.level
-    shift = C.FULL_GRID_BITS - lvl
-    qx, qy, qz = state.nx << shift, state.ny << shift, state.nz << shift
-    w0, w1, w2 = morton.encode(qx, qy, qz)
-    k2 = w2 << 1  # flag bit 0: boundaries before equal-key points
-    is_lb = (state.child_base < 0) & (ids < state.num_nodes)
-    mx = jnp.int32(I32_MAX)
-    return (jnp.where(is_lb, w0, mx), jnp.where(is_lb, w1, mx),
-            jnp.where(is_lb, k2, mx), is_lb)
+def boundary_key(nx, ny, nz, level):
+    """Morton interval-start key (2 int32 words) of a node's spatial interval.
+
+    Words cover octant levels 0..9 and 10..19 (see ops/morton.py); two leaves at any
+    depth <= MAX_DEPTH=20 have distinct (w0, w1) interval starts."""
+    shift = C.FULL_GRID_BITS - level
+    w0, w1, _ = morton.encode(nx << shift, ny << shift, nz << shift)
+    return w0, w1
 
 
-def route(state: OctreeState, x: jax.Array, y: jax.Array, z: jax.Array,
-          rgba: jax.Array, count: jax.Array) -> Work:
+def route(cfg: EngineConfig, state: OctreeState, x: jax.Array, y: jax.Array,
+          z: jax.Array, rgba: jax.Array, count: jax.Array) -> Work:
     """Sort the batch by Morton code and assign each point its current leaf.
 
     Replaces the reference's per-point root->leaf pointer traversal
-    (progressive_octree_voxels.cu:169-187) with a single merge-sort against the
-    active-leaf Morton boundary table.
+    (progressive_octree_voxels.cu:169-187) with one stable merge-sort of the batch
+    against the persistent sorted leaf-boundary directory. Sort keys are
+    (morton word0, morton word1 << 1 | is_point) so boundaries precede equal-key
+    points; each point's leaf then arrives via a take-last carry.
     """
     B = x.shape[0]
+    n_cap = state.child_base.shape[0]
+    W = min(cfg.boundary_window, n_cap)
+    mx = jnp.int32(I32_MAX)
+
     qx, qy, qz = morton.quantize_cols(x, y, z, state.box_min, state.cube_size)
     valid = jnp.arange(B, dtype=jnp.int32) < count
-    pk0, pk1, pk2 = _point_keys(qx, qy, qz, valid)
+    w0, w1, _ = morton.encode(qx, qy, qz)
+    pk0 = jnp.where(valid, w0, mx)
+    pk1 = jnp.where(valid, (w1 << 1) | 1, mx)
 
-    bk0, bk1, bk2, is_lb = _leaf_boundary_keys(state)
-    n_cap = bk0.shape[0]
+    # Re-sort the boundary window (splits appended unsorted rows at the tail last
+    # step). The sort is stable so a stale parent row stays BEFORE the child-0 row
+    # that shares its key (the child was appended later) and is never carried.
+    state.mem_capacity_reached = state.mem_capacity_reached | \
+        (state.num_boundaries > W)
+    brow = jnp.arange(W, dtype=jnp.int32)
+    bvalid = brow < state.num_boundaries
+    bk0 = jnp.where(bvalid, state.b_key0[:W], mx)
+    bk1 = jnp.where(bvalid, state.b_key1[:W], mx)
+    sb0, sb1, sbp = jax.lax.sort(
+        (bk0, bk1, state.b_pack[:W]), num_keys=2, is_stable=True)
+    dus = jax.lax.dynamic_update_slice
+    state.b_key0 = dus(state.b_key0, sb0, (0,))
+    state.b_key1 = dus(state.b_key1, sb1, (0,))
+    state.b_pack = dus(state.b_pack, sbp, (0,))
 
-    # Sorted leaf directory (the boundary rows of the merge, in order).
-    lvl_pack = jnp.where(is_lb, state.level, 0)
-    pack = jnp.arange(n_cap, dtype=jnp.int32) * 32 + lvl_pack
-    sorted_pack = jax.lax.sort((bk0, bk1, bk2, pack), num_keys=3)[3]
-
-    # Merge: concat points + boundaries, sort, carry boundary ordinal forward.
-    k0 = jnp.concatenate([pk0, bk0])
-    k1 = jnp.concatenate([pk1, bk1])
-    k2 = jnp.concatenate([pk2, bk2])
-    typ = jnp.concatenate([
-        jnp.where(valid, jnp.int32(1), jnp.int32(2)),
-        jnp.where(is_lb, jnp.int32(0), jnp.int32(2)),
-    ])
-    zf = jnp.zeros((n_cap,), jnp.float32)
-    zu = jnp.zeros((n_cap,), jnp.uint32)
-    sk0, sk1, sk2, styp, sx, sy, sz, sc = jax.lax.sort(
-        (k0, k1, k2, typ,
+    # Merge points + boundaries; boundary flag bit 0 sorts before equal-key points.
+    k0 = jnp.concatenate([pk0, sb0])
+    k1 = jnp.concatenate([pk1, jnp.where(bvalid, sb1 << 1, mx)])
+    zf = jnp.zeros((W,), jnp.float32)
+    zu = jnp.zeros((W,), jnp.uint32)
+    zb = jnp.zeros((B,), jnp.int32)
+    sk0, sk1, sx, sy, sz, sc, spk = jax.lax.sort(
+        (k0, k1,
          jnp.concatenate([x, zf]), jnp.concatenate([y, zf]),
-         jnp.concatenate([z, zf]), jnp.concatenate([rgba, zu])),
-        num_keys=3, is_stable=False)
+         jnp.concatenate([z, zf]), jnp.concatenate([rgba, zu]),
+         jnp.concatenate([zb, sbp])),
+        num_keys=2, is_stable=True)
 
-    is_b = styp == 0
-    bidx = jnp.cumsum(is_b.astype(jnp.int32)) - 1
-    row_pack = sorted_pack[jnp.clip(bidx, 0, n_cap - 1)]
+    is_b = (sk1 & 1) == 0                    # mx fill is odd -> never a boundary
+    carried = take_last(jnp.where(is_b, spk, -1))
+    is_pt = ((sk1 & 1) == 1) & (sk0 != mx)   # real points only (mx fill excluded)
 
-    # Compact the point rows back to a dense [B] batch (stable; Morton order kept).
-    (cx, cy, cz, cc, cpack), _ = compact_mask_via_sort(
-        styp == 1, (sx, sy, sz, sc, row_pack))
-    cx, cy, cz, cc, cpack = cx[:B], cy[:B], cz[:B], cc[:B], cpack[:B]
+    (cx, cy, cz, cc, cpk), _ = compact_mask_via_sort(
+        is_pt, (sx, sy, sz, sc, jnp.maximum(carried, 0)))
+    cx, cy, cz, cc, cpk = cx[:B], cy[:B], cz[:B], cc[:B], cpk[:B]
     cqx, cqy, cqz = morton.quantize_cols(cx, cy, cz, state.box_min, state.cube_size)
-    return Work(x=cx, y=cy, z=cz, rgba=cc, qx=cqx, qy=cqy, qz=cqz,
-                leaf=cpack >> 5, lvl=cpack & 31, count=count)
+    return state, Work(x=cx, y=cy, z=cz, rgba=cc, qx=cqx, qy=cqy, qz=cqz,
+                       leaf=cpk >> 5, lvl=cpk & 31, count=count)
 
 
-def _batch_run_counts(state: OctreeState, work: Work, run_window: int = 1 << 17):
-    """Per-leaf counts of the current batch assignment, as a dense [node_cap] array.
-
-    Run-start rows are compacted with one sort before the scatter — a full-width
-    masked scatter costs ~20 ns per ATTEMPTED row."""
+def compute_runs(cfg: EngineConfig, work: Work) -> Runs:
+    """Run structure of the current batch->leaf assignment (one sort, B rows)."""
     B = work.leaf.shape[0]
-    valid = jnp.arange(B, dtype=jnp.int32) < work.count
+    rowi = jnp.arange(B, dtype=jnp.int32)
+    valid = rowi < work.count
     starts = run_starts(work.leaf, valid)
     sums = run_reduce_sum(jnp.ones((B,), jnp.int32), starts, valid)
-    n_cap = state.child_base.shape[0]
-    rw = min(run_window, B)
-    (r_leaf, r_sum), n_runs = compact_mask_via_sort(
-        starts & valid, (work.leaf, sums))
-    r_leaf = r_leaf[:rw]
-    r_sum = r_sum[:rw]
-    ok = jnp.arange(rw, dtype=jnp.int32) < n_runs
-    return jnp.zeros((n_cap,), jnp.int32).at[
-        jnp.where(ok, r_leaf, n_cap)].add(jnp.where(ok, r_sum, 0), mode="drop")
+    RW = min(cfg.run_window, B)
+    (r_leaf, r_cnt, r_row), n_runs = compact_mask_via_sort(
+        starts, (work.leaf, sums, rowi))
+    return Runs(starts=starts, r_leaf=r_leaf[:RW], r_cnt=r_cnt[:RW],
+                r_row=r_row[:RW], n_runs=n_runs)
 
 
-def _append_voxels(cfg: EngineConfig, state: OctreeState, node, cell, rgba,
-                   emit_mask, count_window: int | None = None):
-    """Append candidate voxels (possibly duplicating existing cells; lazy dedup).
+def _append_voxels_prefix(cfg: EngineConfig, state: OctreeState, node, cell, rgba,
+                          n_emit):
+    """Append candidate voxels already packed at the window front (lazy dedup).
 
-    Emitted rows are first compacted to the front with one stable sort, then written
-    with contiguous dynamic-update-slices — random scatters cost ~20 ns per ATTEMPTED
-    row (mask or not), while sort+DUS is ~6x cheaper at these widths.
+    One contiguous dynamic-update-slice; rows past n_emit are garbage beyond the
+    watermark (the store is physically padded by the largest append window,
+    structures._cand_capacity) and are overwritten by later appends. Per-node voxel
+    counts are NOT updated here — compaction recomputes them exactly.
     """
-    # watermark never exceeds the LOGICAL capacity; the physical arrays are padded
-    # by the largest append window (structures._cand_capacity), so the full-window
-    # dynamic-update-slice below always stays in bounds with start == vox_used.
-    # Rows past n_new inside the window are garbage beyond the watermark and are
-    # overwritten by later appends.
-    (cnode, ccell, crgba), n_emit = compact_mask_via_sort(
-        emit_mask, (node, cell, jax.lax.bitcast_convert_type(rgba, jnp.int32)))
     room = jnp.maximum(cfg.voxel_capacity - state.vox_used, 0)
     n_new = jnp.minimum(n_emit, room)
     start = state.vox_used
-    state.vox_node = jax.lax.dynamic_update_slice(state.vox_node, cnode, (start,))
-    state.vox_cell = jax.lax.dynamic_update_slice(state.vox_cell, ccell, (start,))
-    state.vox_rgba = jax.lax.dynamic_update_slice(
-        state.vox_rgba, jax.lax.bitcast_convert_type(crgba, jnp.uint32), (start,))
+    state.vox_node = jax.lax.dynamic_update_slice(state.vox_node, node, (start,))
+    state.vox_cell = jax.lax.dynamic_update_slice(state.vox_cell, cell, (start,))
+    state.vox_rgba = jax.lax.dynamic_update_slice(state.vox_rgba, rgba, (start,))
     state.vox_used = state.vox_used + n_new
     state.mem_capacity_reached = state.mem_capacity_reached | (n_emit > room)
-    # approximate per-node voxel counts (corrected exactly at the next compaction);
-    # counting from a bounded slice of the compacted window keeps the scatter cheap —
-    # candidates beyond the slice are duplicate-heavy tails whose counts compaction
-    # fixes anyway
-    n_cap = state.child_base.shape[0]
-    cw = min(count_window or cnode.shape[0], cnode.shape[0])
-    rowi = jnp.arange(cw, dtype=jnp.int32)
-    state.num_voxels = state.num_voxels.at[
-        jnp.where(rowi < n_new, cnode[:cw], n_cap)].add(1, mode="drop")
     return state
 
 
-def _split_round(cfg: EngineConfig, state: OctreeState, work: Work):
+def _append_voxels_masked(cfg: EngineConfig, state: OctreeState, node, cell, rgba,
+                          emit_mask):
+    """Append scattered candidate voxels: compact to the front with one stable sort
+    (a full-width masked scatter costs ~20 ns per ATTEMPTED row), then bulk-append."""
+    (cnode, ccell, crgba), n_emit = compact_mask_via_sort(
+        emit_mask, (node, cell, jax.lax.bitcast_convert_type(rgba, jnp.int32)))
+    return _append_voxels_prefix(
+        cfg, state, cnode, ccell,
+        jax.lax.bitcast_convert_type(crgba, jnp.uint32), n_emit)
+
+
+def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
     """One split-loop round: pick over-capacity leaves, create children, re-route.
 
     Mirrors one expand() iteration of the reference (voxels.cu:385-414) except points
     never move: stored segments are subdivided in the directory, and split nodes'
-    points are gathered once only to voxel-sample the newly inner node.
+    points are gathered once only to voxel-sample the newly inner node. All selection
+    math runs on the batch's run window (RW rows), not the node directory.
     """
     n_cap = state.child_base.shape[0]
     B = work.leaf.shape[0]
     K = cfg.max_splits_per_round
+    RW = runs.r_leaf.shape[0]
     valid = jnp.arange(B, dtype=jnp.int32) < work.count
 
-    # --- selection ---
-    counts_now = _batch_run_counts(state, work, cfg.run_window)
-    counter_eff = state.counter + counts_now
-    ids = jnp.arange(n_cap, dtype=jnp.int32)
-    over = ((ids < state.num_nodes) & (state.child_base < 0)
-            & (counter_eff > cfg.max_points_per_node)
-            & (state.level < cfg.max_depth))
-    rank = jnp.cumsum(over.astype(jnp.int32))          # inclusive
-    pts = jnp.where(over, state.num_points, 0)
-    pts_ex = exclusive_cumsum(pts)
-    segs = jnp.where(over, state.node_seg_count, 0)
-    segs_ex = exclusive_cumsum(segs)
-    node_room = (state.num_nodes + 8 * rank) <= n_cap
-    take = (over & (rank <= K) & (pts_ex + pts <= cfg.spill_capacity)
-            & (segs_ex + segs <= cfg.seg_select_cap) & node_room)
-    n_take = jnp.sum(take.astype(jnp.int32))
-    state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(over & ~node_room)
+    rvalid = jnp.arange(RW, dtype=jnp.int32) < jnp.minimum(runs.n_runs, RW)
+    lsafe = jnp.where(rvalid, runs.r_leaf, 0)
+    # for leaves, counter == stored num_points (they only diverge on inner nodes),
+    # so one gather serves both the over-capacity test and the spill budget
+    counter_r = gather1d(state.counter, lsafe)
+    level_r = gather1d(state.level, lsafe)
+    cb_r = gather1d(state.child_base, lsafe)
+    over = (rvalid & (cb_r < 0)
+            & (counter_r + runs.r_cnt > cfg.max_points_per_node)
+            & (level_r < cfg.max_depth))
+    n_over = jnp.sum(over.astype(jnp.int32))
 
-    trank = jnp.cumsum(take.astype(jnp.int32)) - 1
-    tids = jnp.full((K,), -1, jnp.int32).at[
-        jnp.where(take, trank, K)].set(ids, mode="drop")
-    tv = tids >= 0
-    tsafe = jnp.maximum(tids, 0)
+    def no_split(args):
+        state, work = args
+        return state, work, jnp.zeros_like(n_over)
 
-    # --- create 8 children per taken node (contiguous block: child_base trick) ---
-    base = state.num_nodes + 8 * jnp.arange(K, dtype=jnp.int32)
-    plvl = state.level[tsafe]
-    pnx, pny, pnz = state.nx[tsafe], state.ny[tsafe], state.nz[tsafe]
-    octs = jnp.arange(8, dtype=jnp.int32)
-    ox, oy, oz = (octs >> 2) & 1, (octs >> 1) & 1, octs & 1
-    cid = jnp.where(tv[:, None], base[:, None] + octs[None, :], n_cap).reshape(-1)
-    rep = lambda a: jnp.repeat(a, 8)
-    state.parent = state.parent.at[cid].set(rep(tids), mode="drop")
-    state.level = state.level.at[cid].set(rep(plvl + 1), mode="drop")
-    state.nx = state.nx.at[cid].set((2 * pnx[:, None] + ox).reshape(-1), mode="drop")
-    state.ny = state.ny.at[cid].set((2 * pny[:, None] + oy).reshape(-1), mode="drop")
-    state.nz = state.nz.at[cid].set((2 * pnz[:, None] + oz).reshape(-1), mode="drop")
-    state.counter = state.counter.at[cid].set(0, mode="drop")
-    state.num_points = state.num_points.at[cid].set(0, mode="drop")
-    state.num_voxels = state.num_voxels.at[cid].set(0, mode="drop")
-    # ancestor rows: copy parent's row up to parent level, self afterwards
-    cols = jnp.arange(C.MAX_DEPTH + 1, dtype=jnp.int32)
-    L = C.MAX_DEPTH + 1
-    panc = state.anc[(tsafe[:, None] * L + cols[None, :]).reshape(-1)].reshape(-1, L)
-    crow = jnp.where(cols[None, None, :] <= plvl[:, None, None],
-                     panc[:, None, :],
-                     (base[:, None] + octs[None, :])[:, :, None])
-    n_anc = state.anc.shape[0]
-    anc_idx = jnp.where(cid[:, None] < n_cap, cid[:, None] * L + cols[None, :], n_anc)
-    state.anc = state.anc.at[anc_idx.reshape(-1)].set(
-        crow.reshape(-1), mode="drop")
-    state.child_base = state.child_base.at[
-        jnp.where(tv, tsafe, n_cap)].set(base, mode="drop")
-    state.num_nodes = state.num_nodes + 8 * n_take
+    def do_split(args):
+        state, work = args
+        # --- selection (cumsums over the RW run window) ---
+        rank = jnp.cumsum(over.astype(jnp.int32))          # inclusive
+        pts = jnp.where(over, counter_r, 0)
+        pts_ex = exclusive_cumsum(pts)
+        segs = jnp.where(over, gather1d(state.node_seg_count, lsafe), 0)
+        segs_ex = exclusive_cumsum(segs)
+        node_room = (state.num_nodes + 8 * rank) <= n_cap
+        take = (over & (rank <= K) & (pts_ex + pts <= cfg.spill_capacity)
+                & (segs_ex + segs <= cfg.seg_select_cap) & node_room)
+        n_take = jnp.sum(take.astype(jnp.int32))
+        state.mem_capacity_reached = state.mem_capacity_reached | \
+            jnp.any(over & ~node_room)
 
-    # --- gather stored points of split nodes (voxel sampling + sub-segmenting) ---
-    # Cascade rounds split freshly created children that hold no stored points; the
-    # whole spill pipeline (segment scan, ragged gather, candidate sampling, directory
-    # surgery) is skipped under a cond in that common case.
-    total_spill = jnp.sum(jnp.where(take, state.num_points, 0))
+        (tids_c,), _ = compact_mask_via_sort(take, (runs.r_leaf,))
+        tv = jnp.arange(K, dtype=jnp.int32) < n_take
+        tids = jnp.where(tv, tids_c[:K], -1)
+        tsafe = jnp.maximum(tids, 0)
 
-    just = jnp.zeros((n_cap,), jnp.bool_).at[
-        jnp.where(tv, tsafe, n_cap)].set(True, mode="drop")
+        # --- create 8 children per taken node (contiguous block: child_base trick) ---
+        base = state.num_nodes + 8 * jnp.arange(K, dtype=jnp.int32)
+        plvl = state.level[tsafe]
+        pnx, pny, pnz = state.nx[tsafe], state.ny[tsafe], state.nz[tsafe]
+        octs = jnp.arange(8, dtype=jnp.int32)
+        ox, oy, oz = (octs >> 2) & 1, (octs >> 1) & 1, octs & 1
+        cid = jnp.where(tv[:, None], base[:, None] + octs[None, :], n_cap).reshape(-1)
+        rep = lambda a: jnp.repeat(a, 8)
+        cnx = (2 * pnx[:, None] + ox).reshape(-1)
+        cny = (2 * pny[:, None] + oy).reshape(-1)
+        cnz = (2 * pnz[:, None] + oz).reshape(-1)
+        state.parent = state.parent.at[cid].set(rep(tids), mode="drop")
+        state.level = state.level.at[cid].set(rep(plvl + 1), mode="drop")
+        state.nx = state.nx.at[cid].set(cnx, mode="drop")
+        state.ny = state.ny.at[cid].set(cny, mode="drop")
+        state.nz = state.nz.at[cid].set(cnz, mode="drop")
+        state.counter = state.counter.at[cid].set(0, mode="drop")
+        state.num_points = state.num_points.at[cid].set(0, mode="drop")
+        state.num_voxels = state.num_voxels.at[cid].set(0, mode="drop")
+        # ancestor rows: copy parent's row up to parent level, self afterwards
+        cols = jnp.arange(C.MAX_DEPTH + 1, dtype=jnp.int32)
+        L = C.MAX_DEPTH + 1
+        panc = state.anc[(tsafe[:, None] * L + cols[None, :]).reshape(-1)].reshape(-1, L)
+        crow = jnp.where(cols[None, None, :] <= plvl[:, None, None],
+                         panc[:, None, :],
+                         (base[:, None] + octs[None, :])[:, :, None])
+        n_anc = state.anc.shape[0]
+        anc_idx = jnp.where(cid[:, None] < n_cap, cid[:, None] * L + cols[None, :],
+                            n_anc)
+        state.anc = state.anc.at[anc_idx.reshape(-1)].set(
+            crow.reshape(-1), mode="drop")
+        state.child_base = state.child_base.at[
+            jnp.where(tv, tsafe, n_cap)].set(base, mode="drop")
+        state.num_nodes = state.num_nodes + 8 * n_take
 
-    def spill_block(state):
-        s_cap = state.seg_node.shape[0]
-        s_sel = (state.seg_cnt > 0) & (state.seg_node >= 0) & \
-            just[jnp.clip(state.seg_node, 0, n_cap - 1)]
-        SS = cfg.seg_select_cap  # selected-segment window (selection respects this budget)
-        (sel_full,), n_sel = compact_mask_via_sort(
-            s_sel, (jnp.arange(s_cap, dtype=jnp.int32),))
-        state.mem_capacity_reached = state.mem_capacity_reached | (n_sel > SS)
-        sv = jnp.arange(SS, dtype=jnp.int32) < n_sel
-        ssafe = jnp.where(sv, sel_full[:SS], 0)
-        scnt = jnp.where(sv, state.seg_cnt[ssafe], 0)
-        soff = state.seg_off[ssafe]
-        snode = jnp.where(sv, state.seg_node[ssafe], 0)
-        snlvl = state.level[snode]
+        # --- leaf-boundary directory: append the 8 child boundaries ---
+        # (the parent's row goes stale; child 0 shares its key and, appended later,
+        # wins the stable-sort tie at the next route)
+        clvl = rep(plvl + 1)
+        bw0, bw1 = boundary_key(cnx, cny, cnz, clvl)
+        bpk = (rep(base) + jnp.tile(octs, (K,))) * 32 + clvl
+        pos = state.num_boundaries + jnp.arange(8 * K, dtype=jnp.int32)
+        fitb = rep(tv) & (pos < n_cap)
+        widx = jnp.where(fitb, pos, n_cap)
+        state.b_key0 = state.b_key0.at[widx].set(bw0, mode="drop")
+        state.b_key1 = state.b_key1.at[widx].set(bw1, mode="drop")
+        state.b_pack = state.b_pack.at[widx].set(bpk, mode="drop")
+        nb = state.num_boundaries + 8 * n_take
+        state.mem_capacity_reached = state.mem_capacity_reached | (nb > n_cap)
+        state.num_boundaries = jnp.minimum(nb, n_cap)
 
-        SPW = ragged.window_for(cfg.spill_capacity, SS)
-        rplan = ragged.plan(soff, scnt, SPW)
-        segrow, elem, rvalid = rplan.seg_of, rplan.elem, rplan.valid
-        # guard: a window overflow would silently drop whole segments
-        state.mem_capacity_reached = state.mem_capacity_reached | (
-            jnp.sum(rvalid.astype(jnp.int32)) != jnp.sum(scnt))
-        gx = ragged.gather_column(rplan, state.pt_x)
-        gy = ragged.gather_column(rplan, state.pt_y)
-        gz = ragged.gather_column(rplan, state.pt_z)
-        gc = jax.lax.bitcast_convert_type(
-            ragged.gather_column(rplan, jax.lax.bitcast_convert_type(
-                state.pt_rgba, jnp.float32)), jnp.uint32)
-        gnode = snode[segrow]
-        glvl = snlvl[segrow]
-        gqx, gqy, gqz = morton.quantize_cols(gx, gy, gz, state.box_min,
-                                             state.cube_size)
+        # --- gather stored points of split nodes (voxel sampling + sub-segmenting) ---
+        # Cascade rounds split freshly created children that hold no stored points;
+        # the whole spill pipeline (segment scan, ragged gather, candidate sampling,
+        # directory surgery) is skipped under a cond in that common case.
+        total_spill = jnp.sum(jnp.where(take, pts, 0))
+        just = jnp.zeros((n_cap,), jnp.bool_).at[
+            jnp.where(tv, tsafe, n_cap)].set(True, mode="drop")
 
-        # voxel candidates of the newly inner node, first-in-cell within each segment.
-        # NOTE: a segment's first VALID row is elem == 0 — junk alignment rows before
-        # it carry arbitrary pool data, so adjacent-compare alone is not a safe
-        # boundary test there.
-        pfx, pfy, pfz = morton.prefix_at_level(gqx, gqy, gqz, glvl)
-        seg_first = rvalid & (elem == 0)
-        cell_changed = ((pfx != jnp.roll(pfx, 1)) | (pfy != jnp.roll(pfy, 1))
-                        | (pfz != jnp.roll(pfz, 1)))
-        first_cell = rvalid & (seg_first | cell_changed)
-        cell = morton.cell_at_level(gqx, gqy, gqz, glvl)
-        state = _append_voxels(cfg, state, gnode, cell, gc, first_cell,
-                               count_window=cfg.step_points)
+        def spill_block(state):
+            s_cap = state.seg_node.shape[0]
+            s_sel = (state.seg_cnt > 0) & (state.seg_node >= 0) & \
+                just[jnp.clip(state.seg_node, 0, n_cap - 1)]
+            SS = cfg.seg_select_cap  # selected-segment window (selection respects it)
+            (sel_full,), n_sel = compact_mask_via_sort(
+                s_sel, (jnp.arange(s_cap, dtype=jnp.int32),))
+            state.mem_capacity_reached = state.mem_capacity_reached | (n_sel > SS)
+            sv = jnp.arange(SS, dtype=jnp.int32) < n_sel
+            ssafe = jnp.where(sv, sel_full[:SS], 0)
+            scnt = jnp.where(sv, state.seg_cnt[ssafe], 0)
+            soff = state.seg_off[ssafe]
+            snode = jnp.where(sv, state.seg_node[ssafe], 0)
+            snlvl = state.level[snode]
 
-        # sub-segment surgery: runs of (segment, octant) become child segments
-        goct = morton.octant_at_level(gqx, gqy, gqz, glvl)
-        oct_changed = goct != jnp.roll(goct, 1)
-        srun = rvalid & (seg_first | oct_changed)
-        runlen = run_reduce_sum(jnp.ones((SPW,), jnp.int32), srun, rvalid)
-        child_of_row = state.child_base[gnode] + goct
-        # compact the run rows (<= 8 per subdivided segment) so directory writes and
-        # count updates scatter a small window instead of the whole spill window
-        RUNW = 8 * SS
-        (r_child, r_off, r_len), n_runs_all = compact_mask_via_sort(
-            srun, (child_of_row, soff[segrow] + elem, runlen))
-        r_child, r_off, r_len = r_child[:RUNW], r_off[:RUNW], r_len[:RUNW]
-        rok = jnp.arange(RUNW, dtype=jnp.int32) < n_runs_all
-        npos = state.num_segments + jnp.arange(RUNW, dtype=jnp.int32)
-        fit = rok & (npos < s_cap)
-        widx = jnp.where(fit, npos, s_cap)
-        state.seg_node = state.seg_node.at[widx].set(r_child, mode="drop")
-        state.seg_off = state.seg_off.at[widx].set(r_off, mode="drop")
-        state.seg_cnt = state.seg_cnt.at[widx].set(r_len, mode="drop")
-        n_runs = jnp.sum(fit.astype(jnp.int32))
-        state.num_segments = state.num_segments + n_runs
-        state.mem_capacity_reached = state.mem_capacity_reached | (n_runs_all > n_runs)
-        # inherited counts: children take over the stored points they now own
-        addi = jnp.where(fit, r_child, n_cap)
-        addv = jnp.where(fit, r_len, 0)
-        state.counter = state.counter.at[addi].add(addv, mode="drop")
-        state.num_points = state.num_points.at[addi].add(addv, mode="drop")
-        state.node_seg_count = state.node_seg_count.at[addi].add(
-            jnp.where(fit, 1, 0), mode="drop")
+            SPW = ragged.window_for(cfg.spill_capacity, SS)
+            rplan = ragged.plan(soff, scnt, SPW)
+            segrow, elem, rvalid_g = rplan.seg_of, rplan.elem, rplan.valid
+            # guard: a window overflow would silently drop whole segments
+            state.mem_capacity_reached = state.mem_capacity_reached | (
+                jnp.sum(rvalid_g.astype(jnp.int32)) != jnp.sum(scnt))
+            gx = ragged.gather_column(rplan, state.pt_x)
+            gy = ragged.gather_column(rplan, state.pt_y)
+            gz = ragged.gather_column(rplan, state.pt_z)
+            gc = jax.lax.bitcast_convert_type(
+                ragged.gather_column(rplan, jax.lax.bitcast_convert_type(
+                    state.pt_rgba, jnp.float32)), jnp.uint32)
+            gnode = snode[segrow]
+            glvl = snlvl[segrow]
+            gqx, gqy, gqz = morton.quantize_cols(gx, gy, gz, state.box_min,
+                                                 state.cube_size)
 
-        # kill the split nodes' old segments; zero their stored-point counts
-        state.seg_cnt = state.seg_cnt.at[
-            jnp.where(sv, ssafe, s_cap)].set(0, mode="drop")
-        state.num_points = state.num_points.at[
-            jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
-        state.node_seg_count = state.node_seg_count.at[
-            jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
+            # voxel candidates of the newly inner node, first-in-cell per segment.
+            # NOTE: a segment's first VALID row is elem == 0 — junk alignment rows
+            # before it carry arbitrary pool data, so adjacent-compare alone is not
+            # a safe boundary test there.
+            pfx, pfy, pfz = morton.prefix_at_level(gqx, gqy, gqz, glvl)
+            seg_first = rvalid_g & (elem == 0)
+            cell_changed = ((pfx != jnp.roll(pfx, 1)) | (pfy != jnp.roll(pfy, 1))
+                            | (pfz != jnp.roll(pfz, 1)))
+            first_cell = rvalid_g & (seg_first | cell_changed)
+            cell = morton.cell_at_level(gqx, gqy, gqz, glvl)
+            state = _append_voxels_masked(cfg, state, gnode, cell, gc, first_cell)
 
-        return state
+            # sub-segment surgery: runs of (segment, octant) become child segments
+            goct = morton.octant_at_level(gqx, gqy, gqz, glvl)
+            oct_changed = goct != jnp.roll(goct, 1)
+            srun = rvalid_g & (seg_first | oct_changed)
+            runlen = run_reduce_sum(jnp.ones((SPW,), jnp.int32), srun, rvalid_g)
+            child_of_row = state.child_base[gnode] + goct
+            # compact the run rows (<= 8 per subdivided segment) so directory writes
+            # and count updates scatter a small window instead of the spill window
+            RUNW = 8 * SS
+            (r_child, r_off, r_len), n_runs_all = compact_mask_via_sort(
+                srun, (child_of_row, soff[segrow] + elem, runlen))
+            r_child, r_off, r_len = r_child[:RUNW], r_off[:RUNW], r_len[:RUNW]
+            rok = jnp.arange(RUNW, dtype=jnp.int32) < n_runs_all
+            npos = state.num_segments + jnp.arange(RUNW, dtype=jnp.int32)
+            fit = rok & (npos < s_cap)
+            widx2 = jnp.where(fit, npos, s_cap)
+            state.seg_node = state.seg_node.at[widx2].set(r_child, mode="drop")
+            state.seg_off = state.seg_off.at[widx2].set(r_off, mode="drop")
+            state.seg_cnt = state.seg_cnt.at[widx2].set(r_len, mode="drop")
+            n_runs = jnp.sum(fit.astype(jnp.int32))
+            state.num_segments = state.num_segments + n_runs
+            state.mem_capacity_reached = state.mem_capacity_reached | \
+                (n_runs_all > n_runs)
+            # inherited counts: children take over the stored points they now own
+            addi = jnp.where(fit, r_child, n_cap)
+            addv = jnp.where(fit, r_len, 0)
+            state.counter = state.counter.at[addi].add(addv, mode="drop")
+            state.num_points = state.num_points.at[addi].add(addv, mode="drop")
+            state.node_seg_count = state.node_seg_count.at[addi].add(
+                jnp.where(fit, 1, 0), mode="drop")
 
-    state = jax.lax.cond(total_spill > 0, spill_block, lambda st: st, state)
+            # kill the split nodes' old segments; zero their stored-point counts
+            state.seg_cnt = state.seg_cnt.at[
+                jnp.where(sv, ssafe, s_cap)].set(0, mode="drop")
+            state.num_points = state.num_points.at[
+                jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
+            state.node_seg_count = state.node_seg_count.at[
+                jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
+            return state
 
-    # --- re-route batch rows whose leaf just split (one level down) ---
-    # one fused lookup: cb_if_just[n] = child_base if the node split this round else -1
-    cb_if_just = jnp.where(just, state.child_base, -1)
-    lsafe = jnp.clip(work.leaf, 0, n_cap - 1)
-    cb = cb_if_just[lsafe]
-    aff = valid & (cb >= 0)
-    new_leaf = jnp.where(
-        aff, cb + morton.octant_at_level(work.qx, work.qy, work.qz, work.lvl),
-        work.leaf)
-    new_lvl = work.lvl + aff.astype(jnp.int32)
-    work = work._replace(leaf=new_leaf, lvl=new_lvl)
+        state = jax.lax.cond(total_spill > 0, spill_block, lambda st: st, state)
+
+        # --- re-route batch rows whose leaf just split (one level down) ---
+        # scatter each taken run's child_base (+1; 0 marks untaken runs) at its
+        # run-start row, broadcast down rows with a take-last scan — replaces a
+        # full-batch directory gather (~7 ns per row on v5e)
+        cb_after = gather1d(state.child_base, lsafe)
+        bmark = jnp.full((B,), -1, jnp.int32).at[
+            jnp.where(rvalid, runs.r_row, B)].set(
+                jnp.where(take, cb_after + 1, 0), mode="drop")
+        cb = take_last(bmark) - 1
+        aff = valid & (cb >= 0)
+        new_leaf = jnp.where(
+            aff, cb + morton.octant_at_level(work.qx, work.qy, work.qz, work.lvl),
+            work.leaf)
+        new_lvl = work.lvl + aff.astype(jnp.int32)
+        work = work._replace(leaf=new_leaf, lvl=new_lvl)
+        return state, work, n_take
+
+    state, work, n_take = jax.lax.cond(n_over > 0, do_split, no_split, (state, work))
     return state, work, n_take
 
 
 def split_loop(cfg: EngineConfig, state: OctreeState, work: Work):
-    """Iterate split rounds until no leaf is over capacity (reference expand())."""
+    """Iterate split rounds until no leaf is over capacity (reference expand()).
+
+    Returns the final run structure so insertion reuses it instead of recomputing.
+    """
+    runs0 = compute_runs(cfg, work)
 
     def cond(carry):
-        state, work, n_take, rounds = carry
+        state, work, runs, n_take, rounds = carry
         return (n_take > 0) & (rounds < cfg.split_rounds)
 
     def body(carry):
-        state, work, _n, rounds = carry
-        state, work, n_take = _split_round(cfg, state, work)
-        return state, work, n_take, rounds + 1
+        state, work, runs, _n, rounds = carry
+        state, work, n_take = _split_round(cfg, state, work, runs)
+        runs = jax.lax.cond(n_take > 0,
+                            lambda w: compute_runs(cfg, w),
+                            lambda w: runs, work)
+        return state, work, runs, n_take, rounds + 1
 
     # derive loop scalars from work.count so their sharding/varying type matches the
     # loop body's outputs under shard_map (vma typing)
     one = jnp.ones_like(work.count)
-    state, work, _, _ = jax.lax.while_loop(
-        cond, body, (state, work, one, jnp.zeros_like(work.count)))
-    return state, work
+    state, work, runs, _, _ = jax.lax.while_loop(
+        cond, body, (state, work, runs0, one, jnp.zeros_like(work.count)))
+    return state, work, runs
 
 
 def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
@@ -394,93 +448,80 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     bitmasks (voxels.cu:417-484): sampled levels are 0..leaf_level-1, plus level 0 when
     the root is still a leaf (the root owns a sampling grid from reset, reset.cu:69).
 
-    All per-candidate source lookups ride ONE packed row gather ([B,8] table), since
-    row gathers cost the same as element gathers per row on this hardware.
+    Key structure: in Morton order, the levels at which a point is first-in-cell form
+    a CONTIGUOUS range [lo, nlev): the cell prefix at level l is the top (l + 7) bits,
+    so the point emits exactly at levels where the common-prefix length with its
+    predecessor is shorter than l + 7. That makes the per-candidate level a direct
+    offset (no per-level loops, no bitmask walks).
     """
     B = work.leaf.shape[0]
-    valid = jnp.arange(B, dtype=jnp.int32) < work.count
+    rowi = jnp.arange(B, dtype=jnp.int32)
+    valid = rowi < work.count
     nlev = jnp.maximum(work.lvl, 1)
 
-    # levels above the tree's current max depth can't emit; bound both level loops
-    # dynamically (MAX_DEPTH=20 static iterations would triple the pass count)
-    n_cap_ids = jnp.arange(state.level.shape[0], dtype=jnp.int32)
-    max_lvl = jnp.max(jnp.where(n_cap_ids < state.num_nodes, state.level, 0))
+    # common leading bits with the previous row (row 0: none)
+    xor3 = ((work.qx ^ jnp.roll(work.qx, 1))
+            | (work.qy ^ jnp.roll(work.qy, 1))
+            | (work.qz ^ jnp.roll(work.qz, 1)))
+    xor3 = jnp.where(rowi == 0, -1, xor3)
+    yv = (xor3.astype(jnp.uint32)) << (32 - C.FULL_GRID_BITS)
+    yv = yv | (yv >> 1)
+    yv = yv | (yv >> 2)
+    yv = yv | (yv >> 4)
+    yv = yv | (yv >> 8)
+    yv = yv | (yv >> 16)
+    from ..ops.segments import popcount32
+    n_common = 32 - popcount32(yv)            # leading zeros = common prefix bits
+    lo = jnp.maximum(n_common - (C.GRID_BITS - 1), 0)
+    cnt = jnp.where(valid, jnp.maximum(nlev - lo, 0), 0)
 
-    rowi = jnp.arange(B, dtype=jnp.int32)
-
-    def emit_level(l, bitmask):
-        shift = (C.MAX_DEPTH + 1) - l
-        px, py, pz = work.qx >> shift, work.qy >> shift, work.qz >> shift
-        changed = ((px != jnp.roll(px, 1)) | (py != jnp.roll(py, 1))
-                   | (pz != jnp.roll(pz, 1)) | (rowi == 0))
-        emit = (l < nlev) & changed & valid
-        return bitmask | (emit.astype(jnp.uint32) << l)
-
-    # carry init derived from batch data so its varying-axes type matches the body
-    # under shard_map (same vma rule as split_loop's scalars)
-    bitmask = jax.lax.fori_loop(0, jnp.maximum(max_lvl, 1),
-                                emit_level,
-                                (work.qx ^ work.qx).astype(jnp.uint32))
-    cnt = popcount32(bitmask)
-
-    CC = cfg.candidate_factor * B  # candidate window
+    # ragged expansion into the candidate window (marker scatter + cummax carry)
+    CC = cfg.candidate_factor * B
     offs = exclusive_cumsum(cnt)
     total = jnp.sum(cnt)
-    drop_tail = total > CC  # overflow: tail candidates dropped (voxels appear later)
+    # overflow is TRANSIENT: dropped tail candidates reappear with later batches
+    # (lazy first-come dedup tolerates omission, unlike pool exhaustion)
+    state.num_candidates_dropped = state.num_candidates_dropped + \
+        jnp.maximum(total - CC, 0)
     src_mark = jnp.full((CC,), -1, jnp.int32).at[
         jnp.where(cnt > 0, jnp.minimum(offs, CC), CC)].max(rowi, mode="drop")
-    carried = carry_last(src_mark)
+    carried = jax.lax.cummax(src_mark)
     src = jnp.maximum(carried, 0)
     j = jnp.arange(CC, dtype=jnp.int32)
-    jvalid = (j < jnp.minimum(total, CC)) & (carried >= 0)
+    n_emit = jnp.minimum(total, CC)
 
-    # one row gather for all source columns: qx,qy,qz,leaf,rgba,bitmask,offs
+    # one row gather for all source columns: qx,qy,qz,leaf,rgba,lo,offs
     table = jnp.stack([
         work.qx, work.qy, work.qz, work.leaf,
         jax.lax.bitcast_convert_type(work.rgba, jnp.int32).astype(jnp.int32),
-        bitmask.astype(jnp.int32), offs, cnt], axis=-1)
+        lo, offs, cnt], axis=-1)
     srow = table[src]
     sqx, sqy, sqz = srow[:, 0], srow[:, 1], srow[:, 2]
     sleaf = srow[:, 3]
     color = jax.lax.bitcast_convert_type(srow[:, 4], jnp.uint32)
-    bm = srow[:, 5].astype(jnp.uint32)
-    k = j - srow[:, 6]
-
-    def pick_level(l, carry):
-        lvl_out, cum = carry
-        bit = ((bm >> l) & 1).astype(jnp.int32)
-        hit = (bit == 1) & (cum == k)
-        return jnp.where(hit, l, lvl_out), cum + bit
-
-    zero_cc = (bm ^ bm).astype(jnp.int32)
-    lvl_out, _ = jax.lax.fori_loop(
-        0, jnp.maximum(max_lvl, 1), pick_level, (zero_cc, zero_cc))
+    lvl_out = srow[:, 5] + (j - srow[:, 6])   # lo + offset within the range
 
     cell = morton.cell_at_level(sqx, sqy, sqz, lvl_out)
     node = gather1d(state.anc, sleaf * (C.MAX_DEPTH + 1) + lvl_out)
-    state = _append_voxels(cfg, state, node, cell, color, jvalid,
-                           count_window=cfg.step_points)
-    state.mem_capacity_reached = state.mem_capacity_reached | drop_tail
-    return state
+    # rows beyond n_emit hold clamped garbage but sit past the watermark
+    return _append_voxels_prefix(cfg, state, node, cell, color, n_emit)
 
 
-def insert_points(cfg: EngineConfig, state: OctreeState, work: Work):
+def insert_points(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
     """Bulk-append the routed batch to the point pool and register leaf segments.
 
     Replaces the reference's allocatePointChunks()+insertPoints() chunk walking
     (voxels.cu:485-640) with one contiguous pool write (the batch is Morton-sorted, so
-    each leaf's contribution is a contiguous run = one segment). Segment-directory and
-    per-leaf count updates compact the (few) run-start rows into a small window first —
-    a full-width masked scatter costs like the full width on TPU.
+    each leaf's contribution is a contiguous run = one segment), reusing the split
+    loop's final run structure.
     """
     B = work.leaf.shape[0]
     n_cap = state.child_base.shape[0]
     s_cap = state.seg_node.shape[0]
-    rowi = jnp.arange(B, dtype=jnp.int32)
+    RW = runs.r_leaf.shape[0]
 
     room = jnp.maximum(cfg.point_capacity - state.pool_used, 0)
     new_count = jnp.minimum(work.count, room)
-    valid = rowi < new_count
     dropped = work.count - new_count
     state.mem_capacity_reached = state.mem_capacity_reached | (dropped > 0)
 
@@ -492,29 +533,27 @@ def insert_points(cfg: EngineConfig, state: OctreeState, work: Work):
     state.pt_z = dus(state.pt_z, work.z, (state.pool_used,))
     state.pt_rgba = dus(state.pt_rgba, work.rgba, (state.pool_used,))
 
-    # segments: one per leaf run; compact run-start rows via one sort (full-width
-    # masked scatters cost ~20 ns per attempted row)
-    starts = run_starts(work.leaf, valid)
-    sums = run_reduce_sum(jnp.ones((B,), jnp.int32), starts, valid)
-    RW = min(cfg.run_window, B)
-    (c_leaf, c_off, c_cnt), n_runs_total = compact_mask_via_sort(
-        starts, (work.leaf, state.pool_used + rowi, sums))
-    r_leaf, r_off, r_cnt = c_leaf[:RW], c_off[:RW], c_cnt[:RW]
-    rvalid = jnp.arange(RW, dtype=jnp.int32) < n_runs_total
-    state.mem_capacity_reached = state.mem_capacity_reached | (n_runs_total > RW)
+    # segments: one per leaf run (runs are ascending by row, so truncation at
+    # new_count only clips the tail)
+    n_runs = jnp.minimum(runs.n_runs, RW)
+    state.mem_capacity_reached = state.mem_capacity_reached | (runs.n_runs > RW)
+    r_start = jnp.minimum(runs.r_row, new_count)
+    r_end = jnp.minimum(runs.r_row + runs.r_cnt, new_count)
+    r_cnt = jnp.maximum(r_end - r_start, 0)
+    rvalid = (jnp.arange(RW, dtype=jnp.int32) < n_runs) & (r_cnt > 0)
 
     pos = state.num_segments + jnp.arange(RW, dtype=jnp.int32)
     fit = rvalid & (pos < s_cap)
     sidx = jnp.where(fit, pos, s_cap)
-    state.seg_node = state.seg_node.at[sidx].set(r_leaf, mode="drop")
-    state.seg_off = state.seg_off.at[sidx].set(r_off, mode="drop")
+    state.seg_node = state.seg_node.at[sidx].set(runs.r_leaf, mode="drop")
+    state.seg_off = state.seg_off.at[sidx].set(state.pool_used + r_start, mode="drop")
     state.seg_cnt = state.seg_cnt.at[sidx].set(r_cnt, mode="drop")
     n_segs = jnp.sum(fit.astype(jnp.int32))
     state.num_segments = state.num_segments + n_segs
     state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(rvalid & ~fit)
 
-    # per-leaf bookkeeping from the compacted run window
-    addi = jnp.where(fit, r_leaf, n_cap)
+    # per-leaf bookkeeping from the run window
+    addi = jnp.where(fit, runs.r_leaf, n_cap)
     addv = jnp.where(fit, r_cnt, 0)
     state.num_points = state.num_points.at[addi].add(addv, mode="drop")
     state.counter = state.counter.at[addi].add(addv, mode="drop")
@@ -536,10 +575,10 @@ def build_step_impl(cfg: EngineConfig, state: OctreeState, x: jax.Array,
     32x in HBM). The whole step is one fused jit program — the TPU analogue of one
     cooperative kernel_construct launch (XLA op boundaries are the grid.sync()s).
     """
-    work = route(state, x, y, z, rgba, count)
-    state, work = split_loop(cfg, state, work)
+    state, work = route(cfg, state, x, y, z, rgba, count)
+    state, work, runs = split_loop(cfg, state, work)
     state = batch_voxel_candidates(cfg, state, work)
-    state = insert_points(cfg, state, work)
+    state = insert_points(cfg, state, work, runs)
     return state
 
 

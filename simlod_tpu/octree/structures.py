@@ -63,7 +63,16 @@ class OctreeState:
     pt_z: jax.Array
     pt_rgba: jax.Array         # u32
     pool_used: jax.Array       # i32 scalar watermark
-    pool_waste: jax.Array      # i32 scalar: dead (respilled) entries awaiting defrag
+
+    # --- leaf-boundary directory (1-D columns, [node_capacity]) ---
+    # Sorted Morton interval starts of the active leaves; route() merges the point
+    # batch against rows [0, num_boundaries). Splits append the 8 child boundaries
+    # (the parent's row goes stale but stays: child 0 shares its key and, being
+    # appended later, wins the stable sort tie, so the stale row is never carried).
+    b_key0: jax.Array          # i32 morton word 0 (levels 0..9)
+    b_key1: jax.Array          # i32 morton word 1 (levels 10..19) — NOT shifted
+    b_pack: jax.Array          # i32 leaf_id * 32 + level
+    num_boundaries: jax.Array  # i32 scalar watermark
 
     # --- segment directory (1-D columns) ---
     seg_node: jax.Array        # i32 [segment_capacity]; -1 = never used
@@ -86,6 +95,9 @@ class OctreeState:
     # --- bookkeeping ---
     num_points_processed: jax.Array  # i32
     num_points_dropped: jax.Array    # i32
+    # transient per-step candidate-window overflow (dropped voxel candidates reappear
+    # with later batches; distinct from pool exhaustion — see ADVICE round 1)
+    num_candidates_dropped: jax.Array  # i32
     mem_capacity_reached: jax.Array  # bool
 
     @property
@@ -124,11 +136,13 @@ def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
         node_seg_count=zeros_n(),
         anc=anc,
         num_nodes=jnp.asarray(1, i32),
+        b_key0=zeros_n(), b_key1=zeros_n(), b_pack=zeros_n(),
+        num_boundaries=jnp.asarray(1, i32),  # the root leaf (keys 0,0; pack 0)
         pt_x=jnp.zeros((p_cap,), jnp.float32),
         pt_y=jnp.zeros((p_cap,), jnp.float32),
         pt_z=jnp.zeros((p_cap,), jnp.float32),
         pt_rgba=jnp.zeros((p_cap,), jnp.uint32),
-        pool_used=jnp.asarray(0, i32), pool_waste=jnp.asarray(0, i32),
+        pool_used=jnp.asarray(0, i32),
         seg_node=jnp.full((cfg.segment_capacity,), -1, i32),
         seg_off=jnp.zeros((cfg.segment_capacity,), i32),
         seg_cnt=jnp.zeros((cfg.segment_capacity,), i32),
@@ -141,6 +155,7 @@ def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
         box_min=box_min, cube_size=cube_size,
         num_points_processed=jnp.asarray(0, i32),
         num_points_dropped=jnp.asarray(0, i32),
+        num_candidates_dropped=jnp.asarray(0, i32),
         mem_capacity_reached=jnp.asarray(False, jnp.bool_),
     )
 

@@ -45,6 +45,20 @@ def carry_last(markers: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.cummax(markers)
 
 
+def take_last(markers: jnp.ndarray, sentinel: int = -1) -> jnp.ndarray:
+    """Carry-forward of ARBITRARY-valued markers (segmented broadcast).
+
+    Like carry_last but without the monotonicity requirement: each row receives the
+    most recent non-sentinel value at or before it (sentinel before the first). The
+    take-last combiner is associative, so this is a log-depth associative_scan of
+    elementwise selects — far cheaper than the gather-based alternative
+    (carry positions via cummax, then values[pos]: ~7 ns per gathered row on v5e).
+    """
+    s = jnp.asarray(sentinel, markers.dtype)
+    return jax.lax.associative_scan(
+        lambda a, b: jnp.where(b == s, a, b), markers)
+
+
 def expand_segments(sel_counts: jnp.ndarray, out_len: int):
     """Ragged expansion: for segments with `sel_counts[i]` elements, produce a dense
     window of `out_len` rows where row j holds (segment index, element-within-segment).

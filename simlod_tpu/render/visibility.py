@@ -74,7 +74,10 @@ def compute_visibility(state: OctreeState, uniforms: Uniforms) -> Visibility:
     planes = frustum.frustum_planes(m)
     in_frustum = frustum.intersects_frustum_cols(
         planes, mnx, mny, mnz, mxx, mxy, mxz)
-    has_samples = (state.num_points > 0) | (state.num_voxels > 0)
+    # num_voxels is exact only after compaction (lazy voxel dedup); a fresh inner
+    # node counts as having samples — its voxels exist in the uncompacted tail
+    has_samples = (state.num_points > 0) | (state.num_voxels > 0) \
+        | (state.child_base >= 0)
     visible = active & in_frustum & has_samples
     is_large = active & ((dx > 2.0 * uniforms.min_node_size)
                          | (dy > 2.0 * uniforms.min_node_size))
