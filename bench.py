@@ -18,6 +18,7 @@ import numpy as np
 
 N_POINTS = int(os.environ.get("BENCH_POINTS", 16_000_000))
 STEP_POINTS = int(os.environ.get("BENCH_STEP", 2 << 20))
+FILE_BENCH = int(os.environ.get("BENCH_FILE", 1))  # disk->decode->H2D->build e2e
 WIDTH, HEIGHT = 1920, 1080
 BASELINE_MPS = 400.0
 
@@ -90,6 +91,31 @@ def main() -> int:
     mps = N_POINTS / t_build / 1e6
     log(f"build(pipelined): {t_build:.2f}s = {mps:.1f} MP/s, nodes={num_nodes}")
 
+    # --- file-based end-to-end: disk -> decode -> H2D -> build ---
+    # (the reference's headline metric is a drag-drop load from disk, README.md:21)
+    file_mps = None
+    if FILE_BENCH:
+        import tempfile
+        from simlod_tpu.engine import Engine
+        from simlod_tpu.formats import simlod as simlod_fmt
+        path = os.path.join(tempfile.gettempdir(), f"bench_{N_POINTS}.simlod")
+        if not os.path.exists(path):
+            t_c = time.perf_counter()
+            simlod_fmt.write(path, xyz, rgba)
+            log(f"wrote {path} in {time.perf_counter()-t_c:.0f}s")
+        eng = Engine(cfg)
+        eng.open([path])
+        eng.load_all()  # warm pass (compiles the chunked programs)
+        t0 = time.perf_counter()
+        eng.open([path])
+        eng.load_all()
+        _ = int(eng.state.num_nodes)
+        t_file = time.perf_counter() - t0
+        eng.stream.stop()
+        file_mps = N_POINTS / t_file / 1e6
+        log(f"file e2e: {t_file:.2f}s = {file_mps:.1f} MP/s")
+        del eng
+
     # --- timed 1080p render ---
     c = cam.Camera(width=WIDTH, height=HEIGHT)
     orbit = cam.OrbitControls()
@@ -120,6 +146,7 @@ def main() -> int:
         "value": round(mps, 2),
         "unit": "MP/s",
         "vs_baseline": round(mps / BASELINE_MPS, 4),
+        "file_e2e_mps": round(file_mps, 2) if file_mps else None,
         "render_ms_1080p": round(render_ms, 2),
         "points": N_POINTS,
         "build_seconds": round(t_build, 3),

@@ -54,10 +54,19 @@ class EngineConfig:
                                           # (incl. stale split rows; overflow flags)
     split_rounds: int = 24                # max split-loop rounds per step (reference caps
                                           # expand() at 20 iterations, voxels.cu:394)
+    steps_per_dispatch: int = 4           # step batches fused into one build_many
+                                          # dispatch by Engine.ingest_next (host
+                                          # round-trips amortize over the chunk)
+    max_batches_per_frame: int = 20       # frame-budget ceiling (reference consumes
+                                          # <=20 ring batches/frame, voxels.cu:883)
 
     # Octree parameters (reference structures.cuh:21-26)
     max_points_per_node: int = C.MAX_POINTS_PER_NODE
     max_depth: int = C.MAX_DEPTH
+
+    # Rasterizer backend: tile-binned sort-based Pallas kernel on TPU (see
+    # render/raster_tiles.py); the scatter path is used on other backends.
+    use_tile_raster: bool = True
 
     # Render capacities
     max_render_points: int = 8 << 20      # visible point samples per frame (padded)
@@ -98,6 +107,10 @@ class Settings:
     min_node_size: float = 64.0
     point_size: int = 1
     fovy: float = 60.0
+    # host analogue of the construct kernel's 10 ms self-limit
+    # (progressive_octree_voxels.cu:22,939-949): target wall-clock per frame used
+    # to adapt batches-per-frame; <= 0 pins one batch per frame
+    frame_budget_ms: float = 50.0
     enable_edl: bool = True
     # The reference GUI default is 0.8 (main...cpp:138) but the kernel hard-codes 0.4
     # (render.cu:1290); we honour the uniform and default to the kernel's effective value.
@@ -183,6 +196,7 @@ class Stats:
     pool_used: jax.Array
     num_segments: jax.Array
     mem_capacity_reached: jax.Array       # bool (reference: voxels.cu:896-912)
+    render_truncated: jax.Array           # bool: last frame dropped visible samples
 
     @staticmethod
     def zeros() -> "Stats":
@@ -196,4 +210,5 @@ class Stats:
             num_candidates_dropped=z,
             pool_used=z, num_segments=z,
             mem_capacity_reached=jnp.zeros((), jnp.bool_),
+            render_truncated=jnp.zeros((), jnp.bool_),
         )

@@ -68,6 +68,7 @@ def _collect_stats(cfg: EngineConfig, state: OctreeState, fstats: FrameStats | N
         pool_used=state.pool_used,
         num_segments=state.num_segments,
         mem_capacity_reached=state.mem_capacity_reached,
+        render_truncated=fstats.truncated if fstats else jnp.zeros((), jnp.bool_),
     )
 
 
@@ -140,35 +141,77 @@ class Engine:
         return self.stream
 
     # --- construction ---
-    def ingest(self, x, y, z, rgba, count) -> None:
-        """One build step; host-side compaction policy runs after."""
+    def ingest(self, x, y, z, rgba, count, sync: bool = True) -> None:
+        """One build step; host-side compaction policy runs after.
+
+        With sync=False the dispatch is asynchronous (the device queue pipelines
+        successive steps; donation chains the state in place) and the watermark
+        poll is deferred to the next synchronous call."""
         t0 = time.perf_counter()
         self.state = build.build_step(self.cfg, self.state, x, y, z, rgba,
                                       jnp.asarray(count, jnp.int32))
-        self._maybe_compact()
-        jax.block_until_ready(self.state.num_nodes)
-        self.t_build.add(time.perf_counter() - t0)
+        self._steps_since_poll = getattr(self, "_steps_since_poll", 0) + 1
+        if sync:
+            self._maybe_compact()
+            jax.block_until_ready(self.state.num_nodes)
+            self.t_build.add(time.perf_counter() - t0)
 
-    def ingest_next(self) -> bool:
-        """Pull the next streamed step batch; returns False when the stream is done."""
+    def ingest_chunk(self, items, sync: bool = True) -> None:
+        """Ingest a list of step batches with ONE build_many dispatch (lax.scan).
+
+        The reference keeps its device saturated by launching kernel_construct
+        against a pre-uploaded ring every frame (main_progressive_octree.cpp:364-399);
+        here K steps ride one XLA program, so there are no host round-trips or
+        dispatch gaps between them."""
+        if not items:
+            return
+        if len(items) == 1:
+            x, y, z, rgba, count = items[0]
+            return self.ingest(x, y, z, rgba, count, sync=sync)
+        t0 = time.perf_counter()
+        bx = jnp.stack([it[0] for it in items])
+        by = jnp.stack([it[1] for it in items])
+        bz = jnp.stack([it[2] for it in items])
+        bc = jnp.stack([it[3] for it in items])
+        bn = jnp.asarray([int(it[4]) for it in items], jnp.int32)
+        self.state = build.build_many(self.cfg, self.state, bx, by, bz, bc, bn)
+        self._steps_since_poll = getattr(self, "_steps_since_poll", 0) + len(items)
+        if sync:
+            self._maybe_compact()
+            jax.block_until_ready(self.state.num_nodes)
+            self.t_build.add(time.perf_counter() - t0)
+
+    def ingest_next(self, max_steps: int | None = None) -> bool:
+        """Pull up to steps_per_dispatch streamed batches and ingest them in one
+        dispatch; returns False when the stream is done."""
         if self.stream is None:
-            return False
-        item = next(self._stream_iter, None)
-        if item is None:
-            self.last_batch_finished = True
             return False
         if bool(self.state.mem_capacity_reached):
             # reference treats capacity-reached as end of load (:1216-1219)
             self.last_batch_finished = True
             return False
-        x, y, z, rgba, count = item
-        self.ingest(x, y, z, rgba, count)
+        want = max_steps or self.cfg.steps_per_dispatch
+        items = []
+        for _ in range(want):
+            item = next(self._stream_iter, None)
+            if item is None:
+                self.last_batch_finished = True
+                break
+            items.append(item)
+        if not items:
+            return False
+        self.ingest_chunk(items)
         return True
 
+    def load_all(self) -> None:
+        """Consume the entire stream (the reference's drag-drop load)."""
+        while self.ingest_next():
+            pass
+
     def _maybe_compact(self, force: bool = False):
-        # poll the device watermark only every few steps (each poll syncs the stream)
-        self._steps_since_poll = getattr(self, "_steps_since_poll", 0) + 1
-        if not force and self._steps_since_poll < 4:
+        # poll the device watermark only every few steps (each poll syncs the stream;
+        # ingest/ingest_chunk advance the counter)
+        if not force and getattr(self, "_steps_since_poll", 0) < 4:
             return
         self._steps_since_poll = 0
         used = int(self.state.vox_used)
@@ -233,28 +276,59 @@ class Engine:
         return img, _collect_stats(self.cfg, self.state, fstats)
 
     def frame(self, width: int, height: int):
-        """One simultaneous step: ingest-next + render, fused when data is flowing
-        (the reference's per-frame renderCUDA + updateOctree)."""
-        item = None
+        """One simultaneous frame: ingest + render (the reference's per-frame
+        renderCUDA + updateOctree, main_progressive_octree.cpp:1176-1180).
+
+        Batches consumed per frame adapt to settings.frame_budget_ms, the host
+        analogue of the construct kernel's 10 ms / <=20-batch self-limit
+        (progressive_octree_voxels.cu:22,883,939-949): extra batches ride one
+        async build dispatch, the last one is fused with the render.
+        """
+        items = []
         if self.stream is not None and not self.last_batch_finished \
                 and not bool(self.state.mem_capacity_reached):
-            item = next(self._stream_iter, None)
-            if item is None:
-                self.last_batch_finished = True
-        if item is None:
+            want = max(1, int(getattr(self, "_batches_per_frame", 1)))
+            for _ in range(want):
+                item = next(self._stream_iter, None)
+                if item is None:
+                    self.last_batch_finished = True
+                    break
+                items.append(item)
+        if not items:
             return self.render(width, height)
-        x, y, z, rgba, count = item
+        t0 = time.perf_counter()
+        if len(items) > 1:
+            self.ingest_chunk(items[:-1], sync=False)
+        x, y, z, rgba, count = items[-1]
         u = self.uniforms(width, height)
         pw, vw = self._windows()
-        t0 = time.perf_counter()
         self.state, img, fstats = _fused_step(
             self.cfg, self.state, width, height, x, y, z, rgba,
             jnp.asarray(count, jnp.int32), pw, vw, u)
+        self._steps_since_poll = getattr(self, "_steps_since_poll", 0) + 1
         img.block_until_ready()
-        self.t_fused.add(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        self.t_fused.add(dt)
+        self._adapt_budget(dt * 1e3, len(items))
         self._note_visible(fstats)
         self._maybe_compact()
         return img, _collect_stats(self.cfg, self.state, fstats)
+
+    def _adapt_budget(self, frame_ms: float, consumed: int):
+        """Grow/shrink batches-per-frame toward settings.frame_budget_ms."""
+        budget = self.settings.frame_budget_ms
+        bpf = max(1, int(getattr(self, "_batches_per_frame", 1)))
+        if budget <= 0:
+            self._batches_per_frame = 1
+            return
+        per_batch = frame_ms / max(consumed, 1)
+        target = max(1, int(budget / max(per_batch, 1e-3)))
+        # move one step at a time (the reference's cap is 20 batches/frame)
+        if target > bpf:
+            bpf += 1
+        elif target < bpf:
+            bpf -= 1
+        self._batches_per_frame = min(max(bpf, 1), self.cfg.max_batches_per_frame)
 
     # --- reporting (reference stats table, :1484-1583) ---
     def report(self) -> dict:

