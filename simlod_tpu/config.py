@@ -72,7 +72,8 @@ class EngineConfig:
     max_render_points: int = 8 << 20      # visible point samples per frame (padded)
     max_render_voxels: int = 8 << 20      # visible voxel samples per frame (padded)
     max_render_lines: int = 1 << 16       # line-list capacity (reference: 1M verts, render.cu:1120)
-    line_steps: int = 64                  # samples per rasterized line segment
+    line_steps: int = 128                 # max 1-px DDA samples per line segment
+                                          # (reference clamps at 400, rasterization.cuh:149)
     max_point_size: int = 1               # static unroll bound for settings.point_size
 
     # Per-step voxel-candidate buffer, as a multiple of step_points. Worst case is one

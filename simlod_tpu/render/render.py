@@ -56,6 +56,13 @@ def render_frame_impl(cfg: EngineConfig, state: OctreeState, width: int, height:
         color, depth = args
         a, b, lc, lv = lines_mod.node_box_lines(state, vis.emitted,
                                                 cfg.max_render_lines)
+        # the frozen-camera frustum rides the same flag and draw list as the
+        # reference (render.cu:1197-1229)
+        fa, fb, fc, fv = lines_mod.frustum_lines(uniforms)
+        a = jnp.concatenate([a, fa])
+        b = jnp.concatenate([b, fb])
+        lc = jnp.concatenate([lc, fc])
+        lv = jnp.concatenate([lv, fv])
         return lines_mod.rasterize_lines(cfg, uniforms, width, height,
                                          color, depth, a, b, lc, lv)
 
