@@ -45,7 +45,7 @@ from .. import constants as C
 from ..config import EngineConfig
 from ..ops import morton
 from ..ops.segments import (compact_mask_via_sort, exclusive_cumsum,
-                            run_reduce_sum, run_starts, take_last)
+                            run_reduce_sum, run_starts)
 from ..ops.fastops import gather1d
 from ..ops import ragged
 from .structures import OctreeState
@@ -129,20 +129,25 @@ def route(cfg: EngineConfig, state: OctreeState, x: jax.Array, y: jax.Array,
     state.b_pack = dus(state.b_pack, sbp, (0,))
 
     # Merge points + boundaries; boundary flag bit 0 sorts before equal-key points.
+    # Boundary rows carry their pack as a DELTA vs the previous boundary (in the
+    # already-sorted window order, which the stable merge preserves): a plain
+    # cumsum after the sort then telescopes to "pack of the last boundary at or
+    # before this row" — no scan/carry/gather needed.
+    bdelta = jnp.where(bvalid, sbp - jnp.where(brow > 0,
+                                               jnp.roll(sbp, 1), 0), 0)
     k0 = jnp.concatenate([pk0, sb0])
     k1 = jnp.concatenate([pk1, jnp.where(bvalid, sb1 << 1, mx)])
     zf = jnp.zeros((W,), jnp.float32)
     zu = jnp.zeros((W,), jnp.uint32)
     zb = jnp.zeros((B,), jnp.int32)
-    sk0, sk1, sx, sy, sz, sc, spk = jax.lax.sort(
+    sk0, sk1, sx, sy, sz, sc, sdelta = jax.lax.sort(
         (k0, k1,
          jnp.concatenate([x, zf]), jnp.concatenate([y, zf]),
          jnp.concatenate([z, zf]), jnp.concatenate([rgba, zu]),
-         jnp.concatenate([zb, sbp])),
+         jnp.concatenate([zb, bdelta])),
         num_keys=2, is_stable=True)
 
-    is_b = (sk1 & 1) == 0                    # mx fill is odd -> never a boundary
-    carried = take_last(jnp.where(is_b, spk, -1))
+    carried = jnp.cumsum(sdelta)             # pack of the governing boundary
     is_pt = ((sk1 & 1) == 1) & (sk0 != mx)   # real points only (mx fill excluded)
 
     (cx, cy, cz, cc, cpk), _ = compact_mask_via_sort(
@@ -187,17 +192,6 @@ def _append_voxels_prefix(cfg: EngineConfig, state: OctreeState, node, cell, rgb
     return state
 
 
-def _append_voxels_masked(cfg: EngineConfig, state: OctreeState, node, cell, rgba,
-                          emit_mask):
-    """Append scattered candidate voxels: compact to the front with one stable sort
-    (a full-width masked scatter costs ~20 ns per ATTEMPTED row), then bulk-append."""
-    (cnode, ccell, crgba), n_emit = compact_mask_via_sort(
-        emit_mask, (node, cell, jax.lax.bitcast_convert_type(rgba, jnp.int32)))
-    return _append_voxels_prefix(
-        cfg, state, cnode, ccell,
-        jax.lax.bitcast_convert_type(crgba, jnp.uint32), n_emit)
-
-
 def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
     """One split-loop round: pick over-capacity leaves, create children, re-route.
 
@@ -205,6 +199,12 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
     never move: stored segments are subdivided in the directory, and split nodes'
     points are gathered once only to voxel-sample the newly inner node. All selection
     math runs on the batch's run window (RW rows), not the node directory.
+
+    Structure is cond-copy-aware (XLA lax.cond copies branch outputs, ~15 ms per
+    full-state pass-through on v5e): selection/child-creation run unconditionally
+    (no-op scatters when nothing splits); only the spill pipeline sits under a cond,
+    and it carries just the arrays it writes — the candidate append and the batch
+    re-route happen outside.
     """
     n_cap = state.child_base.shape[0]
     B = work.leaf.shape[0]
@@ -222,195 +222,207 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
     over = (rvalid & (cb_r < 0)
             & (counter_r + runs.r_cnt > cfg.max_points_per_node)
             & (level_r < cfg.max_depth))
-    n_over = jnp.sum(over.astype(jnp.int32))
 
-    def no_split(args):
-        state, work = args
-        return state, work, jnp.zeros_like(n_over)
+    # --- selection (cumsums over the RW run window) ---
+    rank = jnp.cumsum(over.astype(jnp.int32))          # inclusive
+    pts = jnp.where(over, counter_r, 0)
+    pts_ex = exclusive_cumsum(pts)
+    segs = jnp.where(over, gather1d(state.node_seg_count, lsafe), 0)
+    segs_ex = exclusive_cumsum(segs)
+    node_room = (state.num_nodes + 8 * rank) <= n_cap
+    take = (over & (rank <= K) & (pts_ex + pts <= cfg.spill_capacity)
+            & (segs_ex + segs <= cfg.seg_select_cap) & node_room)
+    n_take = jnp.sum(take.astype(jnp.int32))
+    state.mem_capacity_reached = state.mem_capacity_reached | \
+        jnp.any(over & ~node_room)
 
-    def do_split(args):
-        state, work = args
-        # --- selection (cumsums over the RW run window) ---
-        rank = jnp.cumsum(over.astype(jnp.int32))          # inclusive
-        pts = jnp.where(over, counter_r, 0)
-        pts_ex = exclusive_cumsum(pts)
-        segs = jnp.where(over, gather1d(state.node_seg_count, lsafe), 0)
-        segs_ex = exclusive_cumsum(segs)
-        node_room = (state.num_nodes + 8 * rank) <= n_cap
-        take = (over & (rank <= K) & (pts_ex + pts <= cfg.spill_capacity)
-                & (segs_ex + segs <= cfg.seg_select_cap) & node_room)
-        n_take = jnp.sum(take.astype(jnp.int32))
-        state.mem_capacity_reached = state.mem_capacity_reached | \
-            jnp.any(over & ~node_room)
+    (tids_c, trow_c, tcnt_c), _ = compact_mask_via_sort(
+        take, (runs.r_leaf, runs.r_row, runs.r_cnt))
+    tv = jnp.arange(K, dtype=jnp.int32) < n_take
+    tids = jnp.where(tv, tids_c[:K], -1)
+    tsafe = jnp.maximum(tids, 0)
 
-        (tids_c,), _ = compact_mask_via_sort(take, (runs.r_leaf,))
-        tv = jnp.arange(K, dtype=jnp.int32) < n_take
-        tids = jnp.where(tv, tids_c[:K], -1)
-        tsafe = jnp.maximum(tids, 0)
+    # --- create 8 children per taken node (contiguous block: child_base trick) ---
+    base = state.num_nodes + 8 * jnp.arange(K, dtype=jnp.int32)
+    plvl = state.level[tsafe]
+    pnx, pny, pnz = state.nx[tsafe], state.ny[tsafe], state.nz[tsafe]
+    octs = jnp.arange(8, dtype=jnp.int32)
+    ox, oy, oz = (octs >> 2) & 1, (octs >> 1) & 1, octs & 1
+    cid = jnp.where(tv[:, None], base[:, None] + octs[None, :], n_cap).reshape(-1)
+    rep = lambda a: jnp.repeat(a, 8)
+    cnx = (2 * pnx[:, None] + ox).reshape(-1)
+    cny = (2 * pny[:, None] + oy).reshape(-1)
+    cnz = (2 * pnz[:, None] + oz).reshape(-1)
+    state.parent = state.parent.at[cid].set(rep(tids), mode="drop")
+    state.level = state.level.at[cid].set(rep(plvl + 1), mode="drop")
+    state.nx = state.nx.at[cid].set(cnx, mode="drop")
+    state.ny = state.ny.at[cid].set(cny, mode="drop")
+    state.nz = state.nz.at[cid].set(cnz, mode="drop")
+    state.counter = state.counter.at[cid].set(0, mode="drop")
+    state.num_points = state.num_points.at[cid].set(0, mode="drop")
+    state.num_voxels = state.num_voxels.at[cid].set(0, mode="drop")
+    # ancestor rows: copy parent's row up to parent level, self afterwards
+    cols = jnp.arange(C.MAX_DEPTH + 1, dtype=jnp.int32)
+    L = C.MAX_DEPTH + 1
+    panc = state.anc[(tsafe[:, None] * L + cols[None, :]).reshape(-1)].reshape(-1, L)
+    crow = jnp.where(cols[None, None, :] <= plvl[:, None, None],
+                     panc[:, None, :],
+                     (base[:, None] + octs[None, :])[:, :, None])
+    n_anc = state.anc.shape[0]
+    anc_idx = jnp.where(cid[:, None] < n_cap, cid[:, None] * L + cols[None, :],
+                        n_anc)
+    state.anc = state.anc.at[anc_idx.reshape(-1)].set(
+        crow.reshape(-1), mode="drop")
+    state.child_base = state.child_base.at[
+        jnp.where(tv, tsafe, n_cap)].set(base, mode="drop")
+    state.num_nodes = state.num_nodes + 8 * n_take
 
-        # --- create 8 children per taken node (contiguous block: child_base trick) ---
-        base = state.num_nodes + 8 * jnp.arange(K, dtype=jnp.int32)
-        plvl = state.level[tsafe]
-        pnx, pny, pnz = state.nx[tsafe], state.ny[tsafe], state.nz[tsafe]
-        octs = jnp.arange(8, dtype=jnp.int32)
-        ox, oy, oz = (octs >> 2) & 1, (octs >> 1) & 1, octs & 1
-        cid = jnp.where(tv[:, None], base[:, None] + octs[None, :], n_cap).reshape(-1)
-        rep = lambda a: jnp.repeat(a, 8)
-        cnx = (2 * pnx[:, None] + ox).reshape(-1)
-        cny = (2 * pny[:, None] + oy).reshape(-1)
-        cnz = (2 * pnz[:, None] + oz).reshape(-1)
-        state.parent = state.parent.at[cid].set(rep(tids), mode="drop")
-        state.level = state.level.at[cid].set(rep(plvl + 1), mode="drop")
-        state.nx = state.nx.at[cid].set(cnx, mode="drop")
-        state.ny = state.ny.at[cid].set(cny, mode="drop")
-        state.nz = state.nz.at[cid].set(cnz, mode="drop")
-        state.counter = state.counter.at[cid].set(0, mode="drop")
-        state.num_points = state.num_points.at[cid].set(0, mode="drop")
-        state.num_voxels = state.num_voxels.at[cid].set(0, mode="drop")
-        # ancestor rows: copy parent's row up to parent level, self afterwards
-        cols = jnp.arange(C.MAX_DEPTH + 1, dtype=jnp.int32)
-        L = C.MAX_DEPTH + 1
-        panc = state.anc[(tsafe[:, None] * L + cols[None, :]).reshape(-1)].reshape(-1, L)
-        crow = jnp.where(cols[None, None, :] <= plvl[:, None, None],
-                         panc[:, None, :],
-                         (base[:, None] + octs[None, :])[:, :, None])
-        n_anc = state.anc.shape[0]
-        anc_idx = jnp.where(cid[:, None] < n_cap, cid[:, None] * L + cols[None, :],
-                            n_anc)
-        state.anc = state.anc.at[anc_idx.reshape(-1)].set(
-            crow.reshape(-1), mode="drop")
-        state.child_base = state.child_base.at[
-            jnp.where(tv, tsafe, n_cap)].set(base, mode="drop")
-        state.num_nodes = state.num_nodes + 8 * n_take
+    # --- leaf-boundary directory: append the 8 child boundaries ---
+    # (the parent's row goes stale; child 0 shares its key and, appended later,
+    # wins the stable-sort tie at the next route)
+    clvl = rep(plvl + 1)
+    bw0, bw1 = boundary_key(cnx, cny, cnz, clvl)
+    bpk = (rep(base) + jnp.tile(octs, (K,))) * 32 + clvl
+    pos = state.num_boundaries + jnp.arange(8 * K, dtype=jnp.int32)
+    fitb = rep(tv) & (pos < n_cap)
+    widx = jnp.where(fitb, pos, n_cap)
+    state.b_key0 = state.b_key0.at[widx].set(bw0, mode="drop")
+    state.b_key1 = state.b_key1.at[widx].set(bw1, mode="drop")
+    state.b_pack = state.b_pack.at[widx].set(bpk, mode="drop")
+    nb = state.num_boundaries + 8 * n_take
+    state.mem_capacity_reached = state.mem_capacity_reached | (nb > n_cap)
+    state.num_boundaries = jnp.minimum(nb, n_cap)
 
-        # --- leaf-boundary directory: append the 8 child boundaries ---
-        # (the parent's row goes stale; child 0 shares its key and, appended later,
-        # wins the stable-sort tie at the next route)
-        clvl = rep(plvl + 1)
-        bw0, bw1 = boundary_key(cnx, cny, cnz, clvl)
-        bpk = (rep(base) + jnp.tile(octs, (K,))) * 32 + clvl
-        pos = state.num_boundaries + jnp.arange(8 * K, dtype=jnp.int32)
-        fitb = rep(tv) & (pos < n_cap)
-        widx = jnp.where(fitb, pos, n_cap)
-        state.b_key0 = state.b_key0.at[widx].set(bw0, mode="drop")
-        state.b_key1 = state.b_key1.at[widx].set(bw1, mode="drop")
-        state.b_pack = state.b_pack.at[widx].set(bpk, mode="drop")
-        nb = state.num_boundaries + 8 * n_take
-        state.mem_capacity_reached = state.mem_capacity_reached | (nb > n_cap)
-        state.num_boundaries = jnp.minimum(nb, n_cap)
+    # --- gather stored points of split nodes (voxel sampling + sub-segmenting) ---
+    # Cascade rounds split freshly created children that hold no stored points; the
+    # spill pipeline is skipped under a cond in that common case. The cond carries
+    # ONLY the arrays it writes (directory + per-node counts); the big pools ride
+    # as closure inputs and the voxel-candidate append happens outside.
+    total_spill = jnp.sum(jnp.where(take, pts, 0))
+    just = jnp.zeros((n_cap,), jnp.bool_).at[
+        jnp.where(tv, tsafe, n_cap)].set(True, mode="drop")
+    SS = cfg.seg_select_cap  # selected-segment window (selection respects it)
+    SPW = ragged.window_for(cfg.spill_capacity, SS)
+    RUNW = 8 * SS
+    s_cap = state.seg_node.shape[0]
+    child_base_new = state.child_base  # post-creation (for spill + re-route)
 
-        # --- gather stored points of split nodes (voxel sampling + sub-segmenting) ---
-        # Cascade rounds split freshly created children that hold no stored points;
-        # the whole spill pipeline (segment scan, ragged gather, candidate sampling,
-        # directory surgery) is skipped under a cond in that common case.
-        total_spill = jnp.sum(jnp.where(take, pts, 0))
-        just = jnp.zeros((n_cap,), jnp.bool_).at[
-            jnp.where(tv, tsafe, n_cap)].set(True, mode="drop")
+    def spill_calc(small):
+        (seg_node, seg_off, seg_cnt, num_segments, counter, num_points,
+         node_seg_count, memflag) = small
+        s_sel = (seg_cnt > 0) & (seg_node >= 0) & \
+            just[jnp.clip(seg_node, 0, n_cap - 1)]
+        (sel_full,), n_sel = compact_mask_via_sort(
+            s_sel, (jnp.arange(s_cap, dtype=jnp.int32),))
+        memflag = memflag | (n_sel > SS)
+        sv = jnp.arange(SS, dtype=jnp.int32) < n_sel
+        ssafe = jnp.where(sv, sel_full[:SS], 0)
+        scnt = jnp.where(sv, seg_cnt[ssafe], 0)
+        soff = seg_off[ssafe]
+        snode = jnp.where(sv, seg_node[ssafe], 0)
+        snlvl = state.level[snode]
 
-        def spill_block(state):
-            s_cap = state.seg_node.shape[0]
-            s_sel = (state.seg_cnt > 0) & (state.seg_node >= 0) & \
-                just[jnp.clip(state.seg_node, 0, n_cap - 1)]
-            SS = cfg.seg_select_cap  # selected-segment window (selection respects it)
-            (sel_full,), n_sel = compact_mask_via_sort(
-                s_sel, (jnp.arange(s_cap, dtype=jnp.int32),))
-            state.mem_capacity_reached = state.mem_capacity_reached | (n_sel > SS)
-            sv = jnp.arange(SS, dtype=jnp.int32) < n_sel
-            ssafe = jnp.where(sv, sel_full[:SS], 0)
-            scnt = jnp.where(sv, state.seg_cnt[ssafe], 0)
-            soff = state.seg_off[ssafe]
-            snode = jnp.where(sv, state.seg_node[ssafe], 0)
-            snlvl = state.level[snode]
+        rplan = ragged.plan(soff, scnt, SPW)
+        segrow, elem, rvalid_g = rplan.seg_of, rplan.elem, rplan.valid
+        # guard: a window overflow would silently drop whole segments
+        memflag = memflag | (
+            jnp.sum(rvalid_g.astype(jnp.int32)) != jnp.sum(scnt))
+        gx = ragged.gather_column(rplan, state.pt_x)
+        gy = ragged.gather_column(rplan, state.pt_y)
+        gz = ragged.gather_column(rplan, state.pt_z)
+        gc = jax.lax.bitcast_convert_type(
+            ragged.gather_column(rplan, jax.lax.bitcast_convert_type(
+                state.pt_rgba, jnp.float32)), jnp.uint32)
+        gnode = snode[segrow]
+        glvl = snlvl[segrow]
+        gqx, gqy, gqz = morton.quantize_cols(gx, gy, gz, state.box_min,
+                                             state.cube_size)
 
-            SPW = ragged.window_for(cfg.spill_capacity, SS)
-            rplan = ragged.plan(soff, scnt, SPW)
-            segrow, elem, rvalid_g = rplan.seg_of, rplan.elem, rplan.valid
-            # guard: a window overflow would silently drop whole segments
-            state.mem_capacity_reached = state.mem_capacity_reached | (
-                jnp.sum(rvalid_g.astype(jnp.int32)) != jnp.sum(scnt))
-            gx = ragged.gather_column(rplan, state.pt_x)
-            gy = ragged.gather_column(rplan, state.pt_y)
-            gz = ragged.gather_column(rplan, state.pt_z)
-            gc = jax.lax.bitcast_convert_type(
-                ragged.gather_column(rplan, jax.lax.bitcast_convert_type(
-                    state.pt_rgba, jnp.float32)), jnp.uint32)
-            gnode = snode[segrow]
-            glvl = snlvl[segrow]
-            gqx, gqy, gqz = morton.quantize_cols(gx, gy, gz, state.box_min,
-                                                 state.cube_size)
+        # voxel candidates of the newly inner node, first-in-cell per segment.
+        # NOTE: a segment's first VALID row is elem == 0 — junk alignment rows
+        # before it carry arbitrary pool data, so adjacent-compare alone is not
+        # a safe boundary test there.
+        pfx, pfy, pfz = morton.prefix_at_level(gqx, gqy, gqz, glvl)
+        seg_first = rvalid_g & (elem == 0)
+        cell_changed = ((pfx != jnp.roll(pfx, 1)) | (pfy != jnp.roll(pfy, 1))
+                        | (pfz != jnp.roll(pfz, 1)))
+        first_cell = rvalid_g & (seg_first | cell_changed)
+        cell = morton.cell_at_level(gqx, gqy, gqz, glvl)
+        (cnode, ccell, ccol), n_emit = compact_mask_via_sort(
+            first_cell, (gnode, cell,
+                         jax.lax.bitcast_convert_type(gc, jnp.int32)))
 
-            # voxel candidates of the newly inner node, first-in-cell per segment.
-            # NOTE: a segment's first VALID row is elem == 0 — junk alignment rows
-            # before it carry arbitrary pool data, so adjacent-compare alone is not
-            # a safe boundary test there.
-            pfx, pfy, pfz = morton.prefix_at_level(gqx, gqy, gqz, glvl)
-            seg_first = rvalid_g & (elem == 0)
-            cell_changed = ((pfx != jnp.roll(pfx, 1)) | (pfy != jnp.roll(pfy, 1))
-                            | (pfz != jnp.roll(pfz, 1)))
-            first_cell = rvalid_g & (seg_first | cell_changed)
-            cell = morton.cell_at_level(gqx, gqy, gqz, glvl)
-            state = _append_voxels_masked(cfg, state, gnode, cell, gc, first_cell)
+        # sub-segment surgery: runs of (segment, octant) become child segments
+        goct = morton.octant_at_level(gqx, gqy, gqz, glvl)
+        oct_changed = goct != jnp.roll(goct, 1)
+        srun = rvalid_g & (seg_first | oct_changed)
+        runlen = run_reduce_sum(jnp.ones((SPW,), jnp.int32), srun, rvalid_g)
+        child_of_row = child_base_new[gnode] + goct
+        # compact the run rows (<= 8 per subdivided segment) so directory writes
+        # and count updates scatter a small window instead of the spill window
+        (r_child, r_off, r_len), n_runs_all = compact_mask_via_sort(
+            srun, (child_of_row, soff[segrow] + elem, runlen))
+        r_child, r_off, r_len = r_child[:RUNW], r_off[:RUNW], r_len[:RUNW]
+        rok = jnp.arange(RUNW, dtype=jnp.int32) < n_runs_all
+        npos = num_segments + jnp.arange(RUNW, dtype=jnp.int32)
+        fit = rok & (npos < s_cap)
+        widx2 = jnp.where(fit, npos, s_cap)
+        seg_node = seg_node.at[widx2].set(r_child, mode="drop")
+        seg_off = seg_off.at[widx2].set(r_off, mode="drop")
+        seg_cnt = seg_cnt.at[widx2].set(r_len, mode="drop")
+        n_runs = jnp.sum(fit.astype(jnp.int32))
+        num_segments = num_segments + n_runs
+        memflag = memflag | (n_runs_all > n_runs)
+        # inherited counts: children take over the stored points they now own
+        addi = jnp.where(fit, r_child, n_cap)
+        addv = jnp.where(fit, r_len, 0)
+        counter = counter.at[addi].add(addv, mode="drop")
+        num_points = num_points.at[addi].add(addv, mode="drop")
+        node_seg_count = node_seg_count.at[addi].add(
+            jnp.where(fit, 1, 0), mode="drop")
 
-            # sub-segment surgery: runs of (segment, octant) become child segments
-            goct = morton.octant_at_level(gqx, gqy, gqz, glvl)
-            oct_changed = goct != jnp.roll(goct, 1)
-            srun = rvalid_g & (seg_first | oct_changed)
-            runlen = run_reduce_sum(jnp.ones((SPW,), jnp.int32), srun, rvalid_g)
-            child_of_row = state.child_base[gnode] + goct
-            # compact the run rows (<= 8 per subdivided segment) so directory writes
-            # and count updates scatter a small window instead of the spill window
-            RUNW = 8 * SS
-            (r_child, r_off, r_len), n_runs_all = compact_mask_via_sort(
-                srun, (child_of_row, soff[segrow] + elem, runlen))
-            r_child, r_off, r_len = r_child[:RUNW], r_off[:RUNW], r_len[:RUNW]
-            rok = jnp.arange(RUNW, dtype=jnp.int32) < n_runs_all
-            npos = state.num_segments + jnp.arange(RUNW, dtype=jnp.int32)
-            fit = rok & (npos < s_cap)
-            widx2 = jnp.where(fit, npos, s_cap)
-            state.seg_node = state.seg_node.at[widx2].set(r_child, mode="drop")
-            state.seg_off = state.seg_off.at[widx2].set(r_off, mode="drop")
-            state.seg_cnt = state.seg_cnt.at[widx2].set(r_len, mode="drop")
-            n_runs = jnp.sum(fit.astype(jnp.int32))
-            state.num_segments = state.num_segments + n_runs
-            state.mem_capacity_reached = state.mem_capacity_reached | \
-                (n_runs_all > n_runs)
-            # inherited counts: children take over the stored points they now own
-            addi = jnp.where(fit, r_child, n_cap)
-            addv = jnp.where(fit, r_len, 0)
-            state.counter = state.counter.at[addi].add(addv, mode="drop")
-            state.num_points = state.num_points.at[addi].add(addv, mode="drop")
-            state.node_seg_count = state.node_seg_count.at[addi].add(
-                jnp.where(fit, 1, 0), mode="drop")
+        # kill the split nodes' old segments; zero their stored-point counts
+        seg_cnt = seg_cnt.at[jnp.where(sv, ssafe, s_cap)].set(0, mode="drop")
+        num_points = num_points.at[
+            jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
+        node_seg_count = node_seg_count.at[
+            jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
+        return ((seg_node, seg_off, seg_cnt, num_segments, counter, num_points,
+                 node_seg_count, memflag), (cnode, ccell, ccol, n_emit))
 
-            # kill the split nodes' old segments; zero their stored-point counts
-            state.seg_cnt = state.seg_cnt.at[
-                jnp.where(sv, ssafe, s_cap)].set(0, mode="drop")
-            state.num_points = state.num_points.at[
-                jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
-            state.node_seg_count = state.node_seg_count.at[
-                jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
-            return state
+    def no_spill(small):
+        # derive zeros from a batch value so the varying-axes type matches the
+        # spill branch under shard_map (vma typing)
+        z = jnp.zeros((SPW,), jnp.int32) + (total_spill & 0)
+        return small, (z, z, z, jnp.zeros_like(total_spill))
 
-        state = jax.lax.cond(total_spill > 0, spill_block, lambda st: st, state)
+    small = (state.seg_node, state.seg_off, state.seg_cnt, state.num_segments,
+             state.counter, state.num_points, state.node_seg_count,
+             state.mem_capacity_reached)
+    small, cand = jax.lax.cond(total_spill > 0, spill_calc, no_spill, small)
+    (state.seg_node, state.seg_off, state.seg_cnt, state.num_segments,
+     state.counter, state.num_points, state.node_seg_count,
+     state.mem_capacity_reached) = small
+    state = _append_voxels_prefix(
+        cfg, state, cand[0], cand[1],
+        jax.lax.bitcast_convert_type(cand[2], jnp.uint32), cand[3])
 
-        # --- re-route batch rows whose leaf just split (one level down) ---
-        # scatter each taken run's child_base (+1; 0 marks untaken runs) at its
-        # run-start row, broadcast down rows with a take-last scan — replaces a
-        # full-batch directory gather (~7 ns per row on v5e)
-        cb_after = gather1d(state.child_base, lsafe)
-        bmark = jnp.full((B,), -1, jnp.int32).at[
-            jnp.where(rvalid, runs.r_row, B)].set(
-                jnp.where(take, cb_after + 1, 0), mode="drop")
-        cb = take_last(bmark) - 1
-        aff = valid & (cb >= 0)
-        new_leaf = jnp.where(
-            aff, cb + morton.octant_at_level(work.qx, work.qy, work.qz, work.lvl),
-            work.leaf)
-        new_lvl = work.lvl + aff.astype(jnp.int32)
-        work = work._replace(leaf=new_leaf, lvl=new_lvl)
-        return state, work, n_take
-
-    state, work, n_take = jax.lax.cond(n_over > 0, do_split, no_split, (state, work))
+    # --- re-route batch rows whose leaf just split (one level down) ---
+    # taken runs are DISJOINT row intervals [r_row, r_row + r_cnt); scattering
+    # +-(child_base + 1) at interval boundaries and prefix-summing broadcasts each
+    # run's child_base to its rows with one cumsum — no scan, no per-row gather
+    tstart = jnp.where(tv, trow_c[:K], B)
+    tend = jnp.where(tv, trow_c[:K] + tcnt_c[:K], B)
+    delta = jnp.zeros((B + 1,), jnp.int32)
+    delta = delta.at[tstart].add(base + 1, mode="drop")
+    delta = delta.at[tend].add(-(base + 1), mode="drop")
+    cb = jnp.cumsum(delta[:B]) - 1
+    aff = valid & (cb >= 0)
+    new_leaf = jnp.where(
+        aff, cb + morton.octant_at_level(work.qx, work.qy, work.qz, work.lvl),
+        work.leaf)
+    new_lvl = work.lvl + aff.astype(jnp.int32)
+    work = work._replace(leaf=new_leaf, lvl=new_lvl)
     return state, work, n_take
 
 
