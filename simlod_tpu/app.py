@@ -150,6 +150,13 @@ def main(argv=None) -> int:
         if rep["mem_capacity_reached"]:
             print("WARNING: memory capacity reached; ingestion stopped early "
                   f"(dropped {rep['num_points_dropped']:,})")
+        if rep.get("num_candidates_dropped"):
+            print(f"note: {rep['num_candidates_dropped']:,} voxel candidates hit "
+                  "the per-step window (transient; raise candidate_factor to "
+                  "tighten LOD colors)")
+        if rep.get("render_truncated"):
+            print("WARNING: last frame dropped visible samples (sample window "
+                  "truncation; raise max_render_points/voxels)")
         if args.benchmark:
             for k, row in rep["timings"].items():
                 if row["count"]:

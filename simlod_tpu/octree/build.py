@@ -74,7 +74,6 @@ class Runs(NamedTuple):
     simultaneously the per-leaf batch histogram (split selection), the segment list
     (insertion), and the re-route broadcast structure.
     """
-    starts: jax.Array   # [B] bool run-start rows
     r_leaf: jax.Array   # [RW] leaf id per run (compacted, ascending row order)
     r_cnt: jax.Array    # [RW] run length
     r_row: jax.Array    # [RW] work-row index of the run start
@@ -159,17 +158,29 @@ def route(cfg: EngineConfig, state: OctreeState, x: jax.Array, y: jax.Array,
 
 
 def compute_runs(cfg: EngineConfig, work: Work) -> Runs:
-    """Run structure of the current batch->leaf assignment (one sort, B rows)."""
+    """Run structure of the current batch->leaf assignment.
+
+    One 1-key/1-payload sort compacts the run-start row indices; run lengths are
+    next-start differences on the compacted window and leaf ids one small gather —
+    no full-width segmented reduction (run_reduce_sum's jnp.flip reversals cost
+    ~8 ms per 2M-wide call on v5e).
+    """
     B = work.leaf.shape[0]
     rowi = jnp.arange(B, dtype=jnp.int32)
     valid = rowi < work.count
     starts = run_starts(work.leaf, valid)
-    sums = run_reduce_sum(jnp.ones((B,), jnp.int32), starts, valid)
     RW = min(cfg.run_window, B)
-    (r_leaf, r_cnt, r_row), n_runs = compact_mask_via_sort(
-        starts, (work.leaf, sums, rowi))
-    return Runs(starts=starts, r_leaf=r_leaf[:RW], r_cnt=r_cnt[:RW],
-                r_row=r_row[:RW], n_runs=n_runs)
+    (r_row_f,), n_runs = compact_mask_via_sort(starts, (rowi,))
+    r_row = r_row_f[:RW]
+    rw_i = jnp.arange(RW, dtype=jnp.int32)
+    rv = rw_i < jnp.minimum(n_runs, RW)
+    # runs tile [0, count): run i ends where run i+1 starts
+    nxt = jnp.where(rw_i + 1 < n_runs,
+                    jnp.concatenate([r_row[1:], r_row[:1]]), work.count)
+    r_cnt = jnp.where(rv, jnp.maximum(nxt - r_row, 0), 0)
+    r_leaf = gather1d(work.leaf, jnp.where(rv, r_row, 0))
+    return Runs(r_leaf=r_leaf, r_cnt=r_cnt, r_row=jnp.where(rv, r_row, B),
+                n_runs=n_runs)
 
 
 def _append_voxels_prefix(cfg: EngineConfig, state: OctreeState, node, cell, rgba,
@@ -356,14 +367,26 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
         goct = morton.octant_at_level(gqx, gqy, gqz, glvl)
         oct_changed = goct != jnp.roll(goct, 1)
         srun = rvalid_g & (seg_first | oct_changed)
-        runlen = run_reduce_sum(jnp.ones((SPW,), jnp.int32), srun, rvalid_g)
         child_of_row = child_base_new[gnode] + goct
         # compact the run rows (<= 8 per subdivided segment) so directory writes
-        # and count updates scatter a small window instead of the spill window
-        (r_child, r_off, r_len), n_runs_all = compact_mask_via_sort(
-            srun, (child_of_row, soff[segrow] + elem, runlen))
-        r_child, r_off, r_len = r_child[:RUNW], r_off[:RUNW], r_len[:RUNW]
-        rok = jnp.arange(RUNW, dtype=jnp.int32) < n_runs_all
+        # and count updates scatter a small window instead of the spill window;
+        # run lengths = valid-row-count difference between consecutive run starts
+        # (runs tile the valid rows; alignment junk between segments is invalid)
+        jwin = jnp.arange(SPW, dtype=jnp.int32)
+        ecs = jnp.cumsum(rvalid_g.astype(jnp.int32)) - rvalid_g.astype(jnp.int32)
+        total_valid = jnp.sum(rvalid_g.astype(jnp.int32))
+        (r_child, r_off, r_j), n_runs_all = compact_mask_via_sort(
+            srun, (child_of_row, soff[segrow] + elem, jwin))
+        r_child, r_off, r_j = r_child[:RUNW], r_off[:RUNW], r_j[:RUNW]
+        rw_i = jnp.arange(RUNW, dtype=jnp.int32)
+        rok = rw_i < n_runs_all
+        nxt_j = jnp.where(rw_i + 1 < n_runs_all,
+                          jnp.concatenate([r_j[1:], r_j[:1]]), SPW)
+        ecs_pad = jnp.concatenate([ecs, total_valid[None]])
+        r_len = jnp.where(
+            rok,
+            gather1d(ecs_pad, jnp.clip(nxt_j, 0, SPW))
+            - gather1d(ecs_pad, jnp.clip(r_j, 0, SPW)), 0)
         npos = num_segments + jnp.arange(RUNW, dtype=jnp.int32)
         fit = rok & (npos < s_cap)
         widx2 = jnp.where(fit, npos, s_cap)

@@ -41,119 +41,138 @@ from ..config import EngineConfig, Uniforms
 from . import raster
 
 TILE = 1024          # framebuffer pixels per tile (multiple of 128)
-CHUNK = 512          # samples processed per kernel inner iteration
+CHUNK = 1024         # samples processed per kernel inner iteration
 
 
-def _kernel(offs_ref,            # scalar prefetch: [n_tiles+1] i32 sample offsets
-            mode_ref,            # scalar prefetch: [1] i32 (1 = HQS, 0 = plain)
-            cols_hbm,            # [8, S] f32 in HBM: pix, depth, win, r, g, b, lo, hi
-            color_out,           # [8, TILE//8] u32 block (tile pixels, row-major)
-            depth_out,           # [8, TILE//8] i32 block
-            cols_vmem,           # scratch [8, CHUNK] f32
-            state_vmem,          # scratch [TILE, 8] f32: col 0 depth, 1-4 acc, 5 cnt
-            sem):                # DMA semaphore
-    t = pl.program_id(0)
-    tile_start = t * TILE
-    lo = offs_ref[t]
-    hi = offs_ref[t + 1]
-    # chunk-aligned coverage (prefix/suffix rows are masked by pixel range)
-    c0 = lo // CHUNK
-    c1 = (hi + CHUNK - 1) // CHUNK
-    hqs = mode_ref[0] == 1
+def _make_kernel(tile: int, chunk: int):
+    def _kernel(offs_ref,        # scalar prefetch: [n_tiles+1] i32 sample offsets
+                mode_ref,        # scalar prefetch: [1] i32 (1 = HQS, 0 = plain)
+                cols_hbm,        # [8, S] f32 in HBM: pix, depth, win, r, g, b, lo, hi
+                color_out,       # [8, tile//8] u32 block (tile pixels, row-major)
+                depth_out,       # [8, tile//8] i32 block
+                cols_vmem,       # scratch [2, 8, chunk] f32 (double buffered)
+                state_vmem,      # scratch [tile, 8] f32: col 0 depth, 1-4 acc
+                sem):            # DMA semaphores [2]
+        t = pl.program_id(0)
+        tile_start = t * tile
+        lo = offs_ref[t]
+        hi = offs_ref[t + 1]
+        # chunk-aligned coverage (prefix/suffix rows are masked by pixel range)
+        c0 = lo // chunk
+        c1 = (hi + chunk - 1) // chunk
+        hqs = mode_ref[0] == 1
 
-    state_vmem[:, :] = jnp.zeros((TILE, 8), jnp.float32)
+        state_vmem[:, :] = jnp.zeros((tile, 8), jnp.float32)
 
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE), 1)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile), 1)
 
-    def chunk_body(c, _):
-        dma = pltpu.make_async_copy(
-            cols_hbm.at[:, pl.ds(c * CHUNK, CHUNK)], cols_vmem, sem)
-        dma.start()
-        dma.wait()
-        pix = cols_vmem[0, :].astype(jnp.int32) - tile_start
-        depth = cols_vmem[1, :]
-        win = cols_vmem[2, :]
-        inb = (pix >= 0) & (pix < TILE)
-        oh = (pix[:, None] == col_iota).astype(jnp.float32)     # [CHUNK, TILE]
+        def dma_for(c, slot):
+            return pltpu.make_async_copy(
+                cols_hbm.at[:, pl.ds(c * chunk, chunk)],
+                cols_vmem.at[slot], sem.at[slot])
 
-        winb = jnp.where(inb, win, 0.0)
-        # depth placement: each pixel has exactly one winner row stream-wide
-        dcol = (winb * depth)[:, None]                           # [CHUNK, 1]
-        dplace = jax.lax.dot_general(
-            oh, dcol, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # [TILE, 1]
-        new_depth = state_vmem[:, 0:1] + dplace
-        state_vmem[:, 0:1] = new_depth
+        @pl.when(c0 < c1)
+        def _():
+            dma_for(c0, c0 % 2).start()
 
-        # per-sample winner depth (gather as matmul)
-        wd = jax.lax.dot_general(
-            oh, new_depth, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)[:, 0]            # [CHUNK]
+        def chunk_body(c, _):
+            slot = c % 2
 
-        accept = inb & (depth < wd * 1.01)
-        r, g, b = cols_vmem[3, :], cols_vmem[4, :], cols_vmem[5, :]
-        clo, chi = cols_vmem[6, :], cols_vmem[7, :]
-        one = jnp.ones_like(depth)
-        am = jnp.where(hqs, accept.astype(jnp.float32), winb)
-        v0 = jnp.where(hqs, r, clo)
-        v1 = jnp.where(hqs, g, chi)
-        v2 = jnp.where(hqs, b, 0.0)
-        vals = jnp.stack([v0 * am, v1 * am, v2 * am, one * am], axis=-1)
-        acc = jax.lax.dot_general(
-            oh, vals, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # [TILE, 4]
-        state_vmem[:, 1:5] = state_vmem[:, 1:5] + acc
-        return 0
+            @pl.when(c + 1 < c1)
+            def _():
+                dma_for(c + 1, (c + 1) % 2).start()
 
-    jax.lax.fori_loop(c0, c1, chunk_body, 0, unroll=False)
+            dma_for(c, slot).wait()
+            pix = cols_vmem[slot, 0, :].astype(jnp.int32) - tile_start
+            depth = cols_vmem[slot, 1, :]
+            win = cols_vmem[slot, 2, :]
+            inb = (pix >= 0) & (pix < tile)
+            oh = (pix[:, None] == col_iota).astype(jnp.float32)  # [chunk, tile]
 
-    dbuf = state_vmem[:, 0]
-    covered = dbuf > 0.0
-    cnt = jnp.maximum(state_vmem[:, 4], 1.0)
+            winb = jnp.where(inb, win, 0.0)
+            # depth placement: each pixel has exactly one winner row stream-wide
+            dcol = (winb * depth)[:, None]                       # [chunk, 1]
+            dplace = jax.lax.dot_general(
+                oh, dcol, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [tile, 1]
+            new_depth = state_vmem[:, 0:1] + dplace
+            state_vmem[:, 0:1] = new_depth
 
-    def q8(x):
-        return jnp.floor(x).astype(jnp.int32).astype(jnp.uint32) & jnp.uint32(0xFF)
+            # per-sample winner depth (gather as matmul)
+            wd = jax.lax.dot_general(
+                oh, new_depth, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:, 0]        # [chunk]
 
-    hq_color = (q8(state_vmem[:, 1] / cnt)
-                | (q8(state_vmem[:, 2] / cnt) << 8)
-                | (q8(state_vmem[:, 3] / cnt) << 16)
-                | jnp.uint32(0xFF000000))
-    pl_color = (state_vmem[:, 1].astype(jnp.int32).astype(jnp.uint32)
-                | (state_vmem[:, 2].astype(jnp.int32).astype(jnp.uint32) << 16))
-    color = jnp.where(hqs, hq_color, pl_color)
-    bg = jnp.uint32(C.BACKGROUND_COLOR)
-    LANES = TILE // 8
-    color_out[:, :] = jnp.where(covered, color, bg).reshape(8, LANES)
-    inf_bits = jnp.int32(C.DEPTH_INF_BITS)
-    depth_out[:, :] = jnp.where(
-        covered, jax.lax.bitcast_convert_type(dbuf, jnp.int32),
-        inf_bits).reshape(8, LANES)
+            accept = inb & (depth < wd * 1.01)
+            r, g, b = (cols_vmem[slot, 3, :], cols_vmem[slot, 4, :],
+                       cols_vmem[slot, 5, :])
+            clo, chi = cols_vmem[slot, 6, :], cols_vmem[slot, 7, :]
+            one = jnp.ones_like(depth)
+            am = jnp.where(hqs, accept.astype(jnp.float32), winb)
+            v0 = jnp.where(hqs, r, clo)
+            v1 = jnp.where(hqs, g, chi)
+            v2 = jnp.where(hqs, b, 0.0)
+            vals = jnp.stack([v0 * am, v1 * am, v2 * am, one * am], axis=-1)
+            acc = jax.lax.dot_general(
+                oh, vals, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [tile, 4]
+            state_vmem[:, 1:5] = state_vmem[:, 1:5] + acc
+            return 0
+
+        jax.lax.fori_loop(c0, c1, chunk_body, 0, unroll=False)
+
+        dbuf = state_vmem[:, 0]
+        covered = dbuf > 0.0
+        cnt = jnp.maximum(state_vmem[:, 4], 1.0)
+
+        def q8(x):
+            return (jnp.floor(x).astype(jnp.int32).astype(jnp.uint32)
+                    & jnp.uint32(0xFF))
+
+        hq_color = (q8(state_vmem[:, 1] / cnt)
+                    | (q8(state_vmem[:, 2] / cnt) << 8)
+                    | (q8(state_vmem[:, 3] / cnt) << 16)
+                    | jnp.uint32(0xFF000000))
+        pl_color = (state_vmem[:, 1].astype(jnp.int32).astype(jnp.uint32)
+                    | (state_vmem[:, 2].astype(jnp.int32).astype(jnp.uint32)
+                       << 16))
+        color = jnp.where(hqs, hq_color, pl_color)
+        bg = jnp.uint32(C.BACKGROUND_COLOR)
+        lanes = tile // 8
+        color_out[:, :] = jnp.where(covered, color, bg).reshape(8, lanes)
+        inf_bits = jnp.int32(C.DEPTH_INF_BITS)
+        depth_out[:, :] = jnp.where(
+            covered, jax.lax.bitcast_convert_type(dbuf, jnp.int32),
+            inf_bits).reshape(8, lanes)
+
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _raster_kernel_call(cols, n_tiles: int, interpret: bool, offs, mode):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _raster_kernel_call(cols, n_tiles: int, interpret: bool, tile: int,
+                        chunk: int, offs, mode):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(
-            pl.BlockSpec((8, TILE // 8), lambda i, *_: (i, 0),
+            pl.BlockSpec((8, tile // 8), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE // 8), lambda i, *_: (i, 0),
+            pl.BlockSpec((8, tile // 8), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((8, CHUNK), jnp.float32),
-            pltpu.VMEM((TILE, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 8, chunk), jnp.float32),
+            pltpu.VMEM((tile, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     color, depth = pl.pallas_call(
-        _kernel,
+        _make_kernel(tile, chunk),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles * 8, TILE // 8), jnp.uint32),
-            jax.ShapeDtypeStruct((n_tiles * 8, TILE // 8), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * 8, tile // 8), jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles * 8, tile // 8), jnp.int32),
         ),
         interpret=interpret,
     )(offs, mode, cols)
@@ -161,11 +180,14 @@ def _raster_kernel_call(cols, n_tiles: int, interpret: bool, offs, mode):
 
 
 def rasterize_tiles(cfg: EngineConfig, uniforms: Uniforms, width: int, height: int,
-                    sample_sets, interpret: bool = False):
+                    sample_sets, interpret: bool = False,
+                    tile: int | None = None, chunk: int | None = None):
     """Drop-in replacement for raster.rasterize: (color u32 [H*W], depth i32 [H*W])."""
+    tile = tile or TILE
+    chunk = chunk or CHUNK
     npx = width * height
-    n_tiles = (npx + TILE - 1) // TILE
-    npad = n_tiles * TILE
+    n_tiles = (npx + tile - 1) // tile
+    npad = n_tiles * tile
 
     pixs, dbits, colors = [], [], []
     for s in sample_sets:
@@ -195,7 +217,7 @@ def rasterize_tiles(cfg: EngineConfig, uniforms: Uniforms, width: int, height: i
                        jax.lax.bitcast_convert_type(sdb, jnp.float32), 0.0)
 
     S = spix.shape[0]
-    Spad = ((S + CHUNK - 1) // CHUNK) * CHUNK
+    Spad = ((S + chunk - 1) // chunk) * chunk
     padn = Spad - S
     f32 = lambda a: a.astype(jnp.float32)
     cols = jnp.stack([
@@ -210,10 +232,11 @@ def rasterize_tiles(cfg: EngineConfig, uniforms: Uniforms, width: int, height: i
 
     # per-tile sample offsets: the stream is pixel-sorted, so tile ranges come from
     # one small binary search (n_tiles+1 probes) instead of any scatter
-    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile
     offs = jnp.searchsorted(spix, bounds, side="left").astype(jnp.int32)
     mode = jnp.where(uniforms.use_high_quality_shading, 1, 0).astype(
         jnp.int32).reshape(1)
 
-    color, depth = _raster_kernel_call(cols, n_tiles, interpret, offs, mode)
+    color, depth = _raster_kernel_call(cols, n_tiles, interpret, tile, chunk,
+                                       offs, mode)
     return color[:npx], depth[:npx]
