@@ -78,9 +78,15 @@ class EngineConfig:
 
     # Per-step voxel-candidate buffer, as a multiple of step_points. Worst case is one
     # candidate per point per ancestor level (max_depth+1); after in-batch first-in-cell
-    # dedup a small factor suffices for real data. Overflow drops tail candidates and
-    # raises mem_capacity_reached.
+    # dedup a small factor suffices for real data. Overflow drops tail candidates
+    # TRANSIENTLY (counted in num_candidates_dropped; the cells reappear with later
+    # batches).
     candidate_factor: int = 3
+    # Rows of the batch allowed to emit candidates at MULTIPLE levels per step (the
+    # narrow ragged-expansion window in build.batch_voxel_candidates; single-level
+    # emitters — the vast majority on scan-ordered data — bypass expansion entirely).
+    # 0 = auto (step_points // 4). Overflow drops tail candidates transiently.
+    cand_multi_rows: int = 0
 
     # Voxel-store lazy-dedup compaction threshold: compact when the store holds more than
     # (1 + slack) x the entries present after the previous compaction.

@@ -334,7 +334,7 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
         snlvl = state.level[snode]
 
         rplan = ragged.plan(soff, scnt, SPW)
-        segrow, elem, rvalid_g = rplan.seg_of, rplan.elem, rplan.valid
+        elem, rvalid_g = rplan.elem, rplan.valid
         # guard: a window overflow would silently drop whole segments
         memflag = memflag | (
             jnp.sum(rvalid_g.astype(jnp.int32)) != jnp.sum(scnt))
@@ -344,8 +344,12 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
         gc = jax.lax.bitcast_convert_type(
             ragged.gather_column(rplan, jax.lax.bitcast_convert_type(
                 state.pt_rgba, jnp.float32)), jnp.uint32)
-        gnode = snode[segrow]
-        glvl = snlvl[segrow]
+        # per-segment constants are BROADCAST (scatter-delta + cumsum), never
+        # gathered: an element gather over the spill window costs ~7 ns/row
+        # (4 such gathers were 80+ ms/step on v5e; see docs/PERFORMANCE.md)
+        gnode = ragged.broadcast_i32(rplan, snode)
+        glvl = ragged.broadcast_i32(rplan, snlvl)
+        goff0 = ragged.broadcast_i32(rplan, soff)
         gqx, gqy, gqz = morton.quantize_cols(gx, gy, gz, state.box_min,
                                              state.cube_size)
 
@@ -367,7 +371,8 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
         goct = morton.octant_at_level(gqx, gqy, gqz, glvl)
         oct_changed = goct != jnp.roll(goct, 1)
         srun = rvalid_g & (seg_first | oct_changed)
-        child_of_row = child_base_new[gnode] + goct
+        child_of_row = ragged.broadcast_i32(
+            rplan, child_base_new[snode]) + goct
         # compact the run rows (<= 8 per subdivided segment) so directory writes
         # and count updates scatter a small window instead of the spill window;
         # run lengths = valid-row-count difference between consecutive run starts
@@ -376,7 +381,7 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
         ecs = jnp.cumsum(rvalid_g.astype(jnp.int32)) - rvalid_g.astype(jnp.int32)
         total_valid = jnp.sum(rvalid_g.astype(jnp.int32))
         (r_child, r_off, r_j), n_runs_all = compact_mask_via_sort(
-            srun, (child_of_row, soff[segrow] + elem, jwin))
+            srun, (child_of_row, goff0 + elem, jwin))
         r_child, r_off, r_j = r_child[:RUNW], r_off[:RUNW], r_j[:RUNW]
         rw_i = jnp.arange(RUNW, dtype=jnp.int32)
         rok = rw_i < n_runs_all
@@ -510,36 +515,64 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     lo = jnp.maximum(n_common - (C.GRID_BITS - 1), 0)
     cnt = jnp.where(valid, jnp.maximum(nlev - lo, 0), 0)
 
-    # ragged expansion into the candidate window (marker scatter + cummax carry)
-    CC = cfg.candidate_factor * B
-    offs = exclusive_cumsum(cnt)
+    # Intra-batch candidate order is free: first-in-cell emission means each
+    # (node, cell) appears AT MOST ONCE per batch, so dedup-by-store-position
+    # (compaction keeps the earliest entry) is unaffected by reordering within
+    # one step's appends. Split emitters by class: the common cnt == 1 rows
+    # (~90%+ on scan-ordered data) emit IN PLACE with no ragged expansion at
+    # all; only cnt >= 2 rows go through a narrow expansion window. This
+    # replaces a full-batch marker scatter (~8 ns/attempted row) and a
+    # 3B-wide row gather (~4.5 ns/row) with one class sort (~3 ns/row).
+    cls = jnp.where(cnt == 1, 0, jnp.where(cnt >= 2, 1, 2)).astype(jnp.int32)
     total = jnp.sum(cnt)
-    # overflow is TRANSIENT: dropped tail candidates reappear with later batches
+    rgba_i = jax.lax.bitcast_convert_type(work.rgba, jnp.int32).astype(jnp.int32)
+    _, sqx, sqy, sqz, sleaf, srgba, slo, scnt = jax.lax.sort(
+        (cls, work.qx, work.qy, work.qz, work.leaf, rgba_i, lo, cnt),
+        num_keys=1, is_stable=False)
+    n_single = jnp.sum((cls == 0).astype(jnp.int32))
+    n_multi = jnp.sum((cls == 1).astype(jnp.int32))
+
+    # --- single-level emitters: packed at [0, n_single), level == lo ---
+    lvl1 = jnp.maximum(slo, 0)
+    cell1 = morton.cell_at_level(sqx, sqy, sqz, lvl1)
+    node1 = gather1d(state.anc, sleaf * (C.MAX_DEPTH + 1) + lvl1)
+    state = _append_voxels_prefix(
+        cfg, state, node1, cell1,
+        jax.lax.bitcast_convert_type(srgba, jnp.uint32), n_single)
+
+    # --- multi-level emitters: a G2W-row slice starting at n_single, ragged-
+    # expanded into a CC2-wide window (both far narrower than the batch) ---
+    G2W = min(B, cfg.cand_multi_rows or max(B // 4, 1024))
+    CC2 = max((cfg.candidate_factor * B) // 3, 1024)
+    st_ = jnp.minimum(n_single, B - G2W)  # dynamic_slice clamp, made explicit
+    grow = jnp.arange(G2W, dtype=jnp.int32)
+    in_multi = (st_ + grow >= n_single) & (st_ + grow < n_single + n_multi)
+    ds = lambda a: jax.lax.dynamic_slice(a, (st_,), (G2W,))
+    mqx, mqy, mqz = ds(sqx), ds(sqy), ds(sqz)
+    mleaf, mrgba, mlo = ds(sleaf), ds(srgba), ds(slo)
+    ecnt = jnp.where(in_multi, ds(scnt), 0)
+    offs2 = exclusive_cumsum(ecnt)
+    total2 = jnp.sum(ecnt)
+    src_mark = jnp.full((CC2,), -1, jnp.int32).at[
+        jnp.where(ecnt > 0, jnp.minimum(offs2, CC2), CC2)].max(grow, mode="drop")
+    src = jnp.maximum(jax.lax.cummax(src_mark), 0)
+    j = jnp.arange(CC2, dtype=jnp.int32)
+    n_emit2 = jnp.minimum(total2, CC2)
+    table = jnp.stack([mqx, mqy, mqz, mleaf, mrgba, mlo, offs2], axis=-1)
+    srow = table[src]
+    lvl2 = srow[:, 5] + (j - srow[:, 6])      # lo + offset within the range
+    cell2 = morton.cell_at_level(srow[:, 0], srow[:, 1], srow[:, 2], lvl2)
+    node2 = gather1d(state.anc, srow[:, 3] * (C.MAX_DEPTH + 1) + lvl2)
+    state = _append_voxels_prefix(
+        cfg, state, node2, cell2,
+        jax.lax.bitcast_convert_type(srow[:, 4], jnp.uint32), n_emit2)
+
+    # overflow (multi rows past G2W, or expansion past CC2) is TRANSIENT:
+    # dropped candidates reappear with later batches in the same cells
     # (lazy first-come dedup tolerates omission, unlike pool exhaustion)
     state.num_candidates_dropped = state.num_candidates_dropped + \
-        jnp.maximum(total - CC, 0)
-    src_mark = jnp.full((CC,), -1, jnp.int32).at[
-        jnp.where(cnt > 0, jnp.minimum(offs, CC), CC)].max(rowi, mode="drop")
-    carried = jax.lax.cummax(src_mark)
-    src = jnp.maximum(carried, 0)
-    j = jnp.arange(CC, dtype=jnp.int32)
-    n_emit = jnp.minimum(total, CC)
-
-    # one row gather for all source columns: qx,qy,qz,leaf,rgba,lo,offs
-    table = jnp.stack([
-        work.qx, work.qy, work.qz, work.leaf,
-        jax.lax.bitcast_convert_type(work.rgba, jnp.int32).astype(jnp.int32),
-        lo, offs, cnt], axis=-1)
-    srow = table[src]
-    sqx, sqy, sqz = srow[:, 0], srow[:, 1], srow[:, 2]
-    sleaf = srow[:, 3]
-    color = jax.lax.bitcast_convert_type(srow[:, 4], jnp.uint32)
-    lvl_out = srow[:, 5] + (j - srow[:, 6])   # lo + offset within the range
-
-    cell = morton.cell_at_level(sqx, sqy, sqz, lvl_out)
-    node = gather1d(state.anc, sleaf * (C.MAX_DEPTH + 1) + lvl_out)
-    # rows beyond n_emit hold clamped garbage but sit past the watermark
-    return _append_voxels_prefix(cfg, state, node, cell, color, n_emit)
+        jnp.maximum(total - n_single - n_emit2, 0)
+    return state
 
 
 def insert_points(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):

@@ -166,7 +166,10 @@ def _cand_capacity(cfg: EngineConfig) -> int:
     (vox_used itself never exceeds cfg.voxel_capacity)."""
     from ..ops import ragged
     spill_window = ragged.window_for(cfg.spill_capacity, cfg.seg_select_cap)
-    return max(cfg.candidate_factor * cfg.step_points, spill_window) + 256
+    # append windows: single-level candidates (step_points wide), multi-level
+    # expansion (CC2 in build.batch_voxel_candidates), split-spill candidates
+    cc2 = max((cfg.candidate_factor * cfg.step_points) // 3, 1024)
+    return max(cfg.step_points, cc2, spill_window) + 256
 
 
 def node_min_size(state: OctreeState, ids=None):

@@ -37,6 +37,9 @@ class RaggedPlan(NamedTuple):
     seg_of: jax.Array     # [W] segment id per output element (clamped >= 0)
     elem: jax.Array       # [W] element index within its segment
     valid: jax.Array      # [W] element validity
+    mpos: jax.Array       # [S] scatter position of each segment's first element
+                          # (out_len for empty segments); strictly increasing over
+                          # the non-empty segments
     out_len: int
 
 
@@ -77,7 +80,7 @@ def plan(src_off: jax.Array, cnt: jax.Array, out_len: int) -> RaggedPlan:
     valid = (seg_of >= 0) & (j < end_of)
     elem = j - jnp.maximum(start_of, 0)
     return RaggedPlan(src_row=src_row, r_ok=r_ok, seg_of=jnp.maximum(seg_of, 0),
-                      elem=elem, valid=valid, out_len=out_len)
+                      elem=elem, valid=valid, mpos=mpos, out_len=out_len)
 
 
 def gather_column(p: RaggedPlan, src: jax.Array) -> jax.Array:
@@ -86,6 +89,30 @@ def gather_column(p: RaggedPlan, src: jax.Array) -> jax.Array:
     src128 = src.reshape(-1, A)
     rows = src128[jnp.where(p.r_ok, p.src_row, src128.shape[0] - 1)]
     return rows.reshape(p.out_len)
+
+
+def broadcast_i32(p: RaggedPlan, vals: jax.Array) -> jax.Array:
+    """Broadcast one per-segment int32 value to every output element of the segment.
+
+    out[j] == vals[p.seg_of[j]] for valid rows, but at cumsum cost instead of gather
+    cost: an element gather over the window runs at ~7 ns/row on v5e while cumsum is
+    ~0.06 ns/row (see docs/PERFORMANCE.md), so the per-segment DELTA is scattered at
+    the segment's first output position (p.mpos, strictly increasing over non-empty
+    segments) and one prefix sum telescopes it to the whole window — the same trick
+    route() uses for its boundary carry. int32 only (wrap-around addition is exact).
+    """
+    assert vals.dtype == jnp.int32
+    S = vals.shape[0]
+    nz = p.mpos < p.out_len
+    # previous non-empty segment's value (0 before the first), via a small [S]
+    # index carry + gather — S is the segment-window size, not the element window
+    idx = jnp.arange(S, dtype=jnp.int32)
+    last_nz_at_or_before = jax.lax.cummax(jnp.where(nz, idx, -1))
+    prev_idx = jnp.roll(last_nz_at_or_before, 1).at[0].set(-1)
+    prev = jnp.where(prev_idx >= 0, vals[jnp.maximum(prev_idx, 0)], 0)
+    delta = jnp.where(nz, vals - prev, 0)
+    acc = jnp.zeros((p.out_len,), jnp.int32).at[p.mpos].add(delta, mode="drop")
+    return jnp.cumsum(acc)
 
 
 def window_for(total_points: int, max_segments: int) -> int:

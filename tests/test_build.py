@@ -12,6 +12,7 @@ from simlod_tpu.reference_impl import RefOctree
 
 CFG = EngineConfig(
     candidate_factor=21,
+    cand_multi_rows=1 << 12,   # oracle comparison: no transient candidate drops
     node_capacity=1 << 12,
     point_capacity=1 << 16,
     voxel_capacity=1 << 18,

@@ -8,7 +8,7 @@ from simlod_tpu.octree import build, colorfilter
 from simlod_tpu.octree.structures import init_state
 
 CFG = EngineConfig(
-    candidate_factor=21,
+    candidate_factor=21, cand_multi_rows=1 << 12,
     node_capacity=1 << 12, point_capacity=1 << 16, voxel_capacity=1 << 18,
     segment_capacity=1 << 14, step_points=1 << 12, spill_capacity=1 << 12,
     max_splits_per_round=64, seg_select_cap=1 << 10, max_points_per_node=64,

@@ -23,7 +23,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 W, H = 160, 120
 
 CFG = EngineConfig(
-    candidate_factor=21,
+    candidate_factor=21, cand_multi_rows=1 << 13,
     node_capacity=1 << 12, point_capacity=1 << 17, voxel_capacity=1 << 19,
     segment_capacity=1 << 14, step_points=1 << 13, spill_capacity=1 << 13,
     max_splits_per_round=64, seg_select_cap=1 << 10, max_points_per_node=256,

@@ -67,3 +67,26 @@ def test_zero_phase_and_full_rows(rng):
     out = np.asarray(ragged.gather_column(p, jnp.asarray(src)))
     valid = np.asarray(p.valid)
     np.testing.assert_array_equal(out[valid], np.arange(384))
+
+
+def test_broadcast_i32_matches_gather(rng):
+    """broadcast_i32 must equal vals[seg_of] on every valid row, including empty
+    segments, negative values, and segments sharing alignment rows."""
+    S = 64
+    cnts = rng.integers(0, 40, S)
+    cnts[::7] = 0                       # sprinkle empty segments
+    cnts[0] = 0                         # leading empties exercise the prefix
+    cnts[1] = 0
+    offs = np.zeros(S, np.int64)
+    pos = 5
+    for i in range(S):
+        offs[i] = pos
+        pos += cnts[i] + int(rng.integers(0, 3))
+    W = ragged.window_for(int(cnts.sum()), S)
+    p = ragged.plan(jnp.asarray(offs, jnp.int32), jnp.asarray(cnts, jnp.int32), W)
+    vals = rng.integers(-(1 << 20), 1 << 20, S).astype(np.int32)
+    out = np.asarray(ragged.broadcast_i32(p, jnp.asarray(vals)))
+    valid = np.asarray(p.valid)
+    seg_of = np.asarray(p.seg_of)
+    assert valid.sum() == cnts.sum()
+    np.testing.assert_array_equal(out[valid], vals[seg_of[valid]])
