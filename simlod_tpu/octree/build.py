@@ -183,21 +183,26 @@ def compute_runs(cfg: EngineConfig, work: Work) -> Runs:
                 n_runs=n_runs)
 
 
-def _append_voxels_prefix(cfg: EngineConfig, state: OctreeState, node, cell, rgba,
-                          n_emit):
+def _append_voxels_prefix(cfg: EngineConfig, state: OctreeState, k0, k1, k2l, src,
+                          rgba, n_emit):
     """Append candidate voxels already packed at the window front (lazy dedup).
 
-    One contiguous dynamic-update-slice; rows past n_emit are garbage beyond the
-    watermark (the store is physically padded by the largest append window,
-    structures._cand_capacity) and are overwritten by later appends. Per-node voxel
-    counts are NOT updated here — compaction recomputes them exactly.
+    Rows are (global key words, emitting leaf, color) — morton.key_words_at_level;
+    no node lookup happens at emission (compaction resolves node ids per group).
+    One contiguous dynamic-update-slice per column; rows past n_emit are garbage
+    beyond the watermark (the store is physically padded by the largest append
+    window, structures._cand_capacity) and are overwritten by later appends.
+    Per-node voxel counts are NOT updated here — compaction recomputes them exactly.
     """
     room = jnp.maximum(cfg.voxel_capacity - state.vox_used, 0)
     n_new = jnp.minimum(n_emit, room)
     start = state.vox_used
-    state.vox_node = jax.lax.dynamic_update_slice(state.vox_node, node, (start,))
-    state.vox_cell = jax.lax.dynamic_update_slice(state.vox_cell, cell, (start,))
-    state.vox_rgba = jax.lax.dynamic_update_slice(state.vox_rgba, rgba, (start,))
+    dus = jax.lax.dynamic_update_slice
+    state.vox_k0 = dus(state.vox_k0, k0, (start,))
+    state.vox_k1 = dus(state.vox_k1, k1, (start,))
+    state.vox_k2l = dus(state.vox_k2l, k2l, (start,))
+    state.vox_node = dus(state.vox_node, src, (start,))
+    state.vox_rgba = dus(state.vox_rgba, rgba, (start,))
     state.vox_used = state.vox_used + n_new
     state.mem_capacity_reached = state.mem_capacity_reached | (n_emit > room)
     return state
@@ -353,18 +358,20 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
         gqx, gqy, gqz = morton.quantize_cols(gx, gy, gz, state.box_min,
                                              state.cube_size)
 
-        # voxel candidates of the newly inner node, first-in-cell per segment.
+        # voxel candidates of the newly inner node, first-in-cell per segment,
+        # emitted as global prefix keys (no node lookup; the node is resolved at
+        # compaction — src carries gnode, which IS the owning node here).
         # NOTE: a segment's first VALID row is elem == 0 — junk alignment rows
         # before it carry arbitrary pool data, so adjacent-compare alone is not
         # a safe boundary test there.
-        pfx, pfy, pfz = morton.prefix_at_level(gqx, gqy, gqz, glvl)
+        gw0, gw1, gw2 = morton.encode(gqx, gqy, gqz)
+        gk0, gk1, gk2l = morton.key_words_at_level(gw0, gw1, gw2, glvl)
         seg_first = rvalid_g & (elem == 0)
-        cell_changed = ((pfx != jnp.roll(pfx, 1)) | (pfy != jnp.roll(pfy, 1))
-                        | (pfz != jnp.roll(pfz, 1)))
+        cell_changed = ((gk0 != jnp.roll(gk0, 1)) | (gk1 != jnp.roll(gk1, 1))
+                        | (gk2l != jnp.roll(gk2l, 1)))
         first_cell = rvalid_g & (seg_first | cell_changed)
-        cell = morton.cell_at_level(gqx, gqy, gqz, glvl)
-        (cnode, ccell, ccol), n_emit = compact_mask_via_sort(
-            first_cell, (gnode, cell,
+        (ck0, ck1, ck2l, csrc, ccol), n_emit = compact_mask_via_sort(
+            first_cell, (gk0, gk1, gk2l, gnode,
                          jax.lax.bitcast_convert_type(gc, jnp.int32)))
 
         # sub-segment surgery: runs of (segment, octant) become child segments
@@ -416,13 +423,13 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
         node_seg_count = node_seg_count.at[
             jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
         return ((seg_node, seg_off, seg_cnt, num_segments, counter, num_points,
-                 node_seg_count, memflag), (cnode, ccell, ccol, n_emit))
+                 node_seg_count, memflag), (ck0, ck1, ck2l, csrc, ccol, n_emit))
 
     def no_spill(small):
         # derive zeros from a batch value so the varying-axes type matches the
         # spill branch under shard_map (vma typing)
         z = jnp.zeros((SPW,), jnp.int32) + (total_spill & 0)
-        return small, (z, z, z, jnp.zeros_like(total_spill))
+        return small, (z, z, z, z, z, jnp.zeros_like(total_spill))
 
     small = (state.seg_node, state.seg_off, state.seg_cnt, state.num_segments,
              state.counter, state.num_points, state.node_seg_count,
@@ -432,8 +439,8 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
      state.counter, state.num_points, state.node_seg_count,
      state.mem_capacity_reached) = small
     state = _append_voxels_prefix(
-        cfg, state, cand[0], cand[1],
-        jax.lax.bitcast_convert_type(cand[2], jnp.uint32), cand[3])
+        cfg, state, cand[0], cand[1], cand[2], cand[3],
+        jax.lax.bitcast_convert_type(cand[4], jnp.uint32), cand[5])
 
     # --- re-route batch rows whose leaf just split (one level down) ---
     # taken runs are DISJOINT row intervals [r_row, r_row + r_cnt); scattering
@@ -526,18 +533,20 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     cls = jnp.where(cnt == 1, 0, jnp.where(cnt >= 2, 1, 2)).astype(jnp.int32)
     total = jnp.sum(cnt)
     rgba_i = jax.lax.bitcast_convert_type(work.rgba, jnp.int32).astype(jnp.int32)
-    _, sqx, sqy, sqz, sleaf, srgba, slo, scnt = jax.lax.sort(
-        (cls, work.qx, work.qy, work.qz, work.leaf, rgba_i, lo, cnt),
+    w0, w1, w2 = morton.encode(work.qx, work.qy, work.qz)
+    _, sw0, sw1, sw2, sleaf, srgba, slo, scnt = jax.lax.sort(
+        (cls, w0, w1, w2, work.leaf, rgba_i, lo, cnt),
         num_keys=1, is_stable=False)
     n_single = jnp.sum((cls == 0).astype(jnp.int32))
     n_multi = jnp.sum((cls == 1).astype(jnp.int32))
 
     # --- single-level emitters: packed at [0, n_single), level == lo ---
+    # emitted as global prefix keys; no anc lookup (512-byte-row gathers from the
+    # flat ancestor table measured ~17 ns/row — the node resolves at compaction)
     lvl1 = jnp.maximum(slo, 0)
-    cell1 = morton.cell_at_level(sqx, sqy, sqz, lvl1)
-    node1 = gather1d(state.anc, sleaf * (C.MAX_DEPTH + 1) + lvl1)
+    k0, k1, k2l = morton.key_words_at_level(sw0, sw1, sw2, lvl1)
     state = _append_voxels_prefix(
-        cfg, state, node1, cell1,
+        cfg, state, k0, k1, k2l, sleaf,
         jax.lax.bitcast_convert_type(srgba, jnp.uint32), n_single)
 
     # --- multi-level emitters: a G2W-row slice starting at n_single, ragged-
@@ -548,7 +557,7 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     grow = jnp.arange(G2W, dtype=jnp.int32)
     in_multi = (st_ + grow >= n_single) & (st_ + grow < n_single + n_multi)
     ds = lambda a: jax.lax.dynamic_slice(a, (st_,), (G2W,))
-    mqx, mqy, mqz = ds(sqx), ds(sqy), ds(sqz)
+    mw0, mw1, mw2 = ds(sw0), ds(sw1), ds(sw2)
     mleaf, mrgba, mlo = ds(sleaf), ds(srgba), ds(slo)
     ecnt = jnp.where(in_multi, ds(scnt), 0)
     offs2 = exclusive_cumsum(ecnt)
@@ -558,13 +567,13 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     src = jnp.maximum(jax.lax.cummax(src_mark), 0)
     j = jnp.arange(CC2, dtype=jnp.int32)
     n_emit2 = jnp.minimum(total2, CC2)
-    table = jnp.stack([mqx, mqy, mqz, mleaf, mrgba, mlo, offs2], axis=-1)
+    table = jnp.stack([mw0, mw1, mw2, mleaf, mrgba, mlo, offs2], axis=-1)
     srow = table[src]
     lvl2 = srow[:, 5] + (j - srow[:, 6])      # lo + offset within the range
-    cell2 = morton.cell_at_level(srow[:, 0], srow[:, 1], srow[:, 2], lvl2)
-    node2 = gather1d(state.anc, srow[:, 3] * (C.MAX_DEPTH + 1) + lvl2)
+    ek0, ek1, ek2l = morton.key_words_at_level(srow[:, 0], srow[:, 1], srow[:, 2],
+                                               lvl2)
     state = _append_voxels_prefix(
-        cfg, state, node2, cell2,
+        cfg, state, ek0, ek1, ek2l, srow[:, 3],
         jax.lax.bitcast_convert_type(srow[:, 4], jnp.uint32), n_emit2)
 
     # overflow (multi rows past G2W, or expansion past CC2) is TRANSIENT:
@@ -678,41 +687,99 @@ build_many = functools.partial(jax.jit, static_argnums=0,
                                donate_argnums=1)(build_many_impl)
 
 
-def compact_voxels_impl(cfg: EngineConfig, state: OctreeState) -> OctreeState:
-    """Sort the voxel store by (node, cell), drop duplicate cells (first arrival wins),
-    and rebuild the per-node CSR directory + exact per-node voxel counts.
+def _compact_voxels_core(cfg: EngineConfig, state: OctreeState,
+                         w: int) -> OctreeState:
+    """Sort the first `w` store rows by (level, global key), drop duplicate keys
+    (first arrival wins), resolve each node GROUP's id with one anc lookup per
+    group, and rebuild the per-node (vox_voff, vox_vcnt) directory + exact counts.
 
     This realizes the reference's first-come occupancy semantics
-    (progressive_octree_voxels.cu:93-119) lazily and deterministically.
+    (progressive_octree_voxels.cu:93-119) lazily and deterministically. Level-major
+    key order groups each node's voxels contiguously (a node's voxels would
+    interleave with its descendants' in plain Morton order), and within a node the
+    masked key ascends exactly like the packed (cx,cy,cz) cell index.
     """
-    v_cap = state.vox_node.shape[0]
     n_cap = state.child_base.shape[0]
-    rows = jnp.arange(v_cap, dtype=jnp.int32)
+    rows = jnp.arange(w, dtype=jnp.int32)
     valid = rows < state.vox_used
-    nkey = jnp.where(valid, state.vox_node, jnp.int32(I32_MAX))
-    snode, scell, srgba = jax.lax.sort(
-        (nkey, state.vox_cell, state.vox_rgba), num_keys=2, is_stable=True)
-    svalid = rows < state.vox_used
-    uniq = svalid & ((snode != jnp.roll(snode, 1)) | (scell != jnp.roll(scell, 1))
-                     | (rows == 0))
-    (cnode, ccell, crgba), n_uniq = compact_mask_via_sort(uniq, (snode, scell, srgba))
-
+    mx = jnp.int32(I32_MAX)
+    lkey = jnp.where(valid, state.vox_k2l[:w] & 31, mx)
+    k0 = jnp.where(valid, state.vox_k0[:w], mx)
+    slvl, sk0, sk1, sk2l, ssrc, srgba = jax.lax.sort(
+        (lkey, k0, state.vox_k1[:w], state.vox_k2l[:w], state.vox_node[:w],
+         state.vox_rgba[:w]), num_keys=4, is_stable=True)
+    uniq = valid & ((sk0 != jnp.roll(sk0, 1)) | (sk1 != jnp.roll(sk1, 1))
+                    | (sk2l != jnp.roll(sk2l, 1)) | (rows == 0))
+    (ck0, ck1, ck2l, csrc, crgba), n_uniq = compact_mask_via_sort(
+        uniq, (sk0, sk1, sk2l, ssrc, srgba))
     cvalid = rows < n_uniq
-    state.vox_node = jnp.where(cvalid, cnode, 0)
-    state.vox_cell = jnp.where(cvalid, ccell, 0)
-    state.vox_rgba = jnp.where(cvalid, crgba, jnp.uint32(0))
+
+    # node-group boundaries: level change or node-prefix change (the node prefix is
+    # the key with its 21 cell bits stripped = key masked to 3*level octant levels)
+    clvl = ck2l & 31
+    # keep = (clvl - GRID_BITS) + GRID_BITS = exactly the node's 3*level bits
+    # (negative intermediate levels clip to keep-nothing per word)
+    n0, n1, n2l = morton.key_words_at_level(
+        ck0, ck1, ck2l & ~31, clvl - C.GRID_BITS)
+    # the level term is load-bearing: for levels < GRID_BITS the prefix masks
+    # collapse (keep = level), and an ancestor/descendant pair along the all-zero
+    # octant path would otherwise share a masked prefix
+    gstart = cvalid & ((clvl != jnp.roll(clvl, 1)) | (n0 != jnp.roll(n0, 1))
+                       | (n1 != jnp.roll(n1, 1)) | (n2l != jnp.roll(n2l, 1))
+                       | (rows == 0))
+    # one anc lookup per GROUP (the stored src is the emitting leaf pre-compaction
+    # and the node itself post-compaction; anc[src, lvl] is the node either way)
+    NW = min(n_cap, w)
+    (g_src, g_lvl, g_row), n_groups = compact_mask_via_sort(
+        gstart, (csrc, clvl, rows))
+    g_src, g_lvl, g_row = g_src[:NW], g_lvl[:NW], g_row[:NW]
+    gi = jnp.arange(NW, dtype=jnp.int32)
+    gok = gi < n_groups
+    g_node = gather1d(state.anc,
+                      jnp.where(gok, g_src, 0) * (C.MAX_DEPTH + 1)
+                      + jnp.where(gok, g_lvl, 0))
+    nxt = jnp.where(gi + 1 < n_groups,
+                    jnp.concatenate([g_row[1:], g_row[:1]]), n_uniq)
+    g_len = jnp.where(gok, nxt - g_row, 0)
+
+    # resolved node per row (broadcast from group starts: scatter-delta + cumsum)
+    prev_node = jnp.roll(g_node, 1).at[0].set(0)
+    delta = jnp.where(gok, g_node - jnp.where(gi > 0, prev_node, 0), 0)
+    dacc = jnp.zeros((w,), jnp.int32).at[
+        jnp.where(gok, g_row, w)].add(delta, mode="drop")
+    cnode = jnp.cumsum(dacc)
+
+    state.vox_k0, state.vox_k1, state.vox_k2l = \
+        _store_prefix(state.vox_k0, ck0, cvalid, w), \
+        _store_prefix(state.vox_k1, ck1, cvalid, w), \
+        _store_prefix(state.vox_k2l, ck2l, cvalid, w)
+    state.vox_node = _store_prefix(state.vox_node,
+                                   jnp.where(cvalid, cnode, 0), cvalid, w)
+    state.vox_rgba = _store_prefix(
+        state.vox_rgba, jnp.where(cvalid, crgba, jnp.uint32(0)), cvalid, w)
     state.vox_used = n_uniq
     state.vox_compacted = n_uniq
 
-    # exact per-node counts + CSR offsets
-    nstart = run_starts(cnode, cvalid)
-    csum = run_reduce_sum(jnp.ones((v_cap,), jnp.int32), nstart, cvalid)
-    counts = jnp.zeros((n_cap + 1,), jnp.int32).at[
-        jnp.where(nstart & cvalid, cnode, n_cap + 1)].set(csum, mode="drop")
-    state.num_voxels = counts[:n_cap]
-    state.vox_off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts[:n_cap])])
+    nidx = jnp.where(gok, g_node, n_cap)
+    zn = jnp.zeros((n_cap,), jnp.int32)
+    state.vox_voff = zn.at[nidx].set(g_row, mode="drop")
+    state.vox_vcnt = zn.at[nidx].set(g_len, mode="drop")
+    state.num_voxels = zn.at[nidx].set(g_len, mode="drop")
+    state.mem_capacity_reached = state.mem_capacity_reached | (n_groups > NW)
     return state
+
+
+def _store_prefix(col, new, cvalid, w):
+    """Write the first w rows of a store column (zero-masked past the watermark)."""
+    new = jnp.where(cvalid, new, jnp.zeros((), new.dtype))
+    if col.shape[0] == w:
+        return new
+    return jax.lax.dynamic_update_slice(col, new, (0,))
+
+
+def compact_voxels_impl(cfg: EngineConfig, state: OctreeState) -> OctreeState:
+    """Full-capacity voxel compaction (see _compact_voxels_core)."""
+    return _compact_voxels_core(cfg, state, state.vox_k0.shape[0])
 
 
 def compact_segments_impl(cfg: EngineConfig, state: OctreeState) -> OctreeState:
@@ -737,33 +804,7 @@ def _compact_voxels_window(cfg: EngineConfig, state: OctreeState, w: int):
     The full store capacity can be 10-50x the live size; sorting only a power-of-two
     window around the watermark keeps compaction cost proportional to actual content.
     """
-    n_cap = state.child_base.shape[0]
-    rows = jnp.arange(w, dtype=jnp.int32)
-    valid = rows < state.vox_used
-    nkey = jnp.where(valid, state.vox_node[:w], jnp.int32(I32_MAX))
-    snode, scell, srgba = jax.lax.sort(
-        (nkey, state.vox_cell[:w], state.vox_rgba[:w]), num_keys=2, is_stable=True)
-    uniq = valid & ((snode != jnp.roll(snode, 1)) | (scell != jnp.roll(scell, 1))
-                    | (rows == 0))
-    (cnode, ccell, crgba), n_uniq = compact_mask_via_sort(uniq, (snode, scell, srgba))
-    cvalid = rows < n_uniq
-    cnode = jnp.where(cvalid, cnode, 0)
-    state.vox_node = jax.lax.dynamic_update_slice(state.vox_node, cnode, (0,))
-    state.vox_cell = jax.lax.dynamic_update_slice(
-        state.vox_cell, jnp.where(cvalid, ccell, 0), (0,))
-    state.vox_rgba = jax.lax.dynamic_update_slice(
-        state.vox_rgba, jnp.where(cvalid, crgba, jnp.uint32(0)), (0,))
-    state.vox_used = n_uniq
-    state.vox_compacted = n_uniq
-
-    nstart = run_starts(cnode, cvalid)
-    csum = run_reduce_sum(jnp.ones((w,), jnp.int32), nstart, cvalid)
-    counts = jnp.zeros((n_cap + 1,), jnp.int32).at[
-        jnp.where(nstart & cvalid, cnode, n_cap + 1)].set(csum, mode="drop")
-    state.num_voxels = counts[:n_cap]
-    state.vox_off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts[:n_cap])])
-    return state
+    return _compact_voxels_core(cfg, state, w)
 
 
 def compact_voxels_auto(cfg: EngineConfig, state: OctreeState) -> OctreeState:

@@ -45,7 +45,7 @@ def _level_counts(cfg: EngineConfig, state: OctreeState, lvl: jax.Array):
     active = ids < state.num_nodes
     child_sel = active & (state.level == lvl + 1)
     parent_sel = active & (state.level == lvl) & (state.child_base >= 0)
-    csr = state.vox_off[1:] - state.vox_off[:-1]
+    csr = state.vox_vcnt
     n_vox = jnp.sum(jnp.where(child_sel, csr, 0))
     seg_ok = (state.seg_cnt > 0) & (state.seg_node >= 0)
     seg_lvl = state.level[jnp.clip(state.seg_node, 0, n_cap - 1)]
@@ -63,27 +63,27 @@ def _filter_level(cfg: EngineConfig, state: OctreeState, vw: int, pw: int, sw: i
     active = ids < state.num_nodes
     child_sel = active & (state.level == lvl + 1)
     parent_sel = active & (state.level == lvl) & (state.child_base >= 0)
-    csr_cnt = state.vox_off[1:] - state.vox_off[:-1]
+    csr_cnt = state.vox_vcnt
 
     # --- child voxel samples ---
     vcnt = jnp.where(child_sel, csr_cnt, 0)
     vnode, velem, vvalid, _ = expand_segments(vcnt, vw)
-    v_cap = state.vox_node.shape[0]
-    vidx = jnp.where(vvalid, state.vox_off[:-1][vnode] + velem, v_cap - 1)
-    vcell_child = state.vox_cell[vidx]
+    v_cap = state.vox_k0.shape[0]
+    vidx = jnp.where(vvalid, state.vox_voff[vnode] + velem, v_cap - 1)
+    # child voxel coords at resolution 2^(clvl+7) straight from the global key
+    # (the decoded prefix has its low bits zero: shift down to the prefix value)
+    vqx28, vqy28, vqz28 = morton.decode(
+        state.vox_k0[vidx], state.vox_k1[vidx], state.vox_k2l[vidx] & ~31)
+    down = C.FULL_GRID_BITS - ((lvl + 1) + C.GRID_BITS)
     vrgba = state.vox_rgba[vidx]
-    # child voxel center -> quantized coords (parent cell = child cell >> 1 per axis,
-    # offset by child octant; equivalent to re-quantizing the center position)
-    cx, cy, cz = morton.cell_to_xyz(vcell_child)
-    # child-node coords at child level; cell grid at child level+7
-    vqx = (state.nx[vnode] << (C.GRID_BITS)) + cx
-    vqy = (state.ny[vnode] << (C.GRID_BITS)) + cy
-    vqz = (state.nz[vnode] << (C.GRID_BITS)) + cz
-    # coords now at resolution 2^(clvl+7); parent (lvl) cell = >> 1
-    pvx, pvy, pvz = vqx >> 1, vqy >> 1, vqz >> 1
-    vcell_parent = (((pvx & (C.GRID_SIZE - 1)) << (2 * C.GRID_BITS))
-                    | ((pvy & (C.GRID_SIZE - 1)) << C.GRID_BITS)
-                    | (pvz & (C.GRID_SIZE - 1))).astype(jnp.int32)
+    # parent (lvl) cell coords = child-resolution coords >> 1
+    pvx = (vqx28 >> down) >> 1
+    pvy = (vqy28 >> down) >> 1
+    pvz = (vqz28 >> down) >> 1
+    # re-align to 28-bit coords for the parent-level global key
+    up = C.FULL_GRID_BITS - (lvl + C.GRID_BITS)
+    pk0, pk1, pk2l = morton.key_words_at_level(
+        *morton.encode(pvx << up, pvy << up, pvz << up), lvl)
     vparent = jnp.where(vvalid, state.parent[vnode], n_cap)
 
     # --- child point samples ---
@@ -98,23 +98,29 @@ def _filter_level(cfg: EngineConfig, state: OctreeState, vw: int, pw: int, sw: i
     pxyz = jnp.stack([state.pt_x[pidx], state.pt_y[pidx], state.pt_z[pidx]], -1)
     prgba = state.pt_rgba[pidx]
     pq = morton.quantize(pxyz, state.box_min, state.cube_size)
-    pcell = morton.cell_at_level(pq[:, 0], pq[:, 1], pq[:, 2], lvl)
+    qk0, qk1, qk2l = morton.key_words_at_level(
+        *morton.encode(pq[:, 0], pq[:, 1], pq[:, 2]), lvl)
     ppnode = state.parent[seg_node_safe[pseg]]
     pparent = jnp.where(pvalid, ppnode, n_cap)
 
-    # --- aggregate: sort by (parent, cell), segment-average ---
+    # --- aggregate: sort by (parent, global cell key), segment-average ---
+    # (the store's within-node row order IS ascending key order, so rank pairing
+    # against the target expansion below stays valid)
     node_k = jnp.concatenate([vparent, pparent])
-    cell_k = jnp.concatenate([vcell_parent, pcell])
+    ck0 = jnp.concatenate([pk0, qk0])
+    ck1 = jnp.concatenate([pk1, qk1])
+    ck2 = jnp.concatenate([pk2l, qk2l])
     col = jnp.concatenate([vrgba, prgba])
     valid = jnp.concatenate([vvalid, pvalid])
     node_k = jnp.where(valid, node_k, I32_MAX)
     r = (col & 0xFF).astype(jnp.int32)
     g = ((col >> 8) & 0xFF).astype(jnp.int32)
     b = ((col >> 16) & 0xFF).astype(jnp.int32)
-    snode, scell, sr, sg, sb = jax.lax.sort(
-        (node_k, cell_k, r, g, b), num_keys=2, is_stable=False)
+    snode, sk0, sk1, sk2, sr, sg, sb = jax.lax.sort(
+        (node_k, ck0, ck1, ck2, r, g, b), num_keys=4, is_stable=False)
     svalid = snode < I32_MAX
-    key_change = (snode != jnp.roll(snode, 1)) | (scell != jnp.roll(scell, 1))
+    key_change = (snode != jnp.roll(snode, 1)) | (sk0 != jnp.roll(sk0, 1)) \
+        | (sk1 != jnp.roll(sk1, 1)) | (sk2 != jnp.roll(sk2, 1))
     starts = run_starts(snode, svalid) | (key_change & svalid)
     starts = starts & svalid
     ones = jnp.ones_like(sr)
@@ -140,7 +146,7 @@ def _filter_level(cfg: EngineConfig, state: OctreeState, vw: int, pw: int, sw: i
     # docstring / reference assert at colorfilter.cu:393-398)
     trank = jnp.arange(sw, dtype=jnp.int32)
     ok = tvalid & (trank < n_agg)
-    tidx = jnp.where(ok, state.vox_off[:-1][tnode] + telem, v_cap)
+    tidx = jnp.where(ok, state.vox_voff[tnode] + telem, v_cap)
     state.vox_rgba = state.vox_rgba.at[tidx].set(agg_col, mode="drop")
     return state
 

@@ -32,11 +32,23 @@ def node_table(state: OctreeState) -> dict:
     for sn, so, sc in zip(seg_n, seg_o, seg_c):
         if sc > 0 and sn >= 0:
             pts_by_node.setdefault(int(sn), []).append((int(so), int(sc)))
-    # per-node voxels from the store (may contain duplicates pre-compaction)
+    # per-node voxels from the store; requires a COMPACTED store (vox_node is the
+    # emitting leaf, not the owner, in the uncompacted tail)
     vox_by_node: dict[int, dict] = {}
-    for i in range(int(s["vox_used"])):
-        vox_by_node.setdefault(int(s["vox_node"][i]), {}).setdefault(
-            int(s["vox_cell"][i]), int(s["vox_rgba"][i]))
+    vu = int(s["vox_used"])
+    if vu:
+        import jax.numpy as jnp
+
+        from .. import constants as C
+        from ..ops import morton
+        _, cx, cy, cz = morton.key_words_decode(
+            jnp.asarray(s["vox_k0"][:vu]), jnp.asarray(s["vox_k1"][:vu]),
+            jnp.asarray(s["vox_k2l"][:vu]))
+        cell = ((np.asarray(cx) << (2 * C.GRID_BITS))
+                | (np.asarray(cy) << C.GRID_BITS) | np.asarray(cz))
+        for i in range(vu):
+            vox_by_node.setdefault(int(s["vox_node"][i]), {}).setdefault(
+                int(cell[i]), int(s["vox_rgba"][i]))
     for i in range(n):
         spans = pts_by_node.get(i, [])
         idx = np.concatenate([np.arange(o, o + c) for (o, c) in spans]) \
@@ -56,3 +68,21 @@ def node_table(state: OctreeState) -> dict:
             voxels=vox_by_node.get(i, {}),
         )
     return table
+
+
+def voxel_cells(state: OctreeState) -> np.ndarray:
+    """Packed 21-bit local cell per store row [0, vox_used) (host-side; tests)."""
+    import jax.numpy as jnp
+
+    from .. import constants as C
+    from ..ops import morton
+    vu = int(state.vox_used)
+    if vu == 0:
+        return np.zeros((0,), np.int64)
+    _, cx, cy, cz = morton.key_words_decode(
+        jnp.asarray(np.asarray(state.vox_k0)[:vu]),
+        jnp.asarray(np.asarray(state.vox_k1)[:vu]),
+        jnp.asarray(np.asarray(state.vox_k2l)[:vu]))
+    return ((np.asarray(cx).astype(np.int64) << (2 * C.GRID_BITS))
+            | (np.asarray(cy).astype(np.int64) << C.GRID_BITS)
+            | np.asarray(cz).astype(np.int64))

@@ -16,12 +16,17 @@ None of that is expressible or fast in XLA. The TPU-native equivalent used here:
     leaf. This replaces chunk linked lists; splits mark a node's segments dead and
     respill its points, with periodic defragmentation reclaiming dead slots (the
     reference recycles chunks through a queue instead, voxels.cu:346-357).
-  - Voxel store: flat SoA (node, cell, rgba). Kept sorted by (node, cell) in the
-    compacted prefix [0, vox_compacted) with a per-node CSR directory (vox_off), plus an
-    append-only tail of new samples that may contain duplicates; periodic compaction
-    sorts + dedups (first arrival wins, matching the reference's first-come atomicOr
-    semantics, progressive_octree_voxels.cu:93-119). This replaces the 256 KB/node
-    occupancy bitmaps, which do not scale on HBM.
+  - Voxel store: flat SoA keyed by GLOBAL Morton-prefix cell identity
+    (k0, k1, k2|level = ops/morton.key_words_at_level): a level-l voxel cell is the
+    top 3*(l+7) bits of the point's 84-bit code, so emission needs NO node lookup at
+    all (the 512-byte-row anc gathers this replaces cost ~17 ns/row on v5e). Node ids
+    are resolved once per node GROUP at compaction, which sorts by (level, key),
+    dedups (first arrival wins, matching the reference's first-come atomicOr
+    semantics, progressive_octree_voxels.cu:93-119), and rebuilds the per-node
+    (vox_voff, vox_vcnt) directory. Rows [0, vox_compacted) are (level, key)-sorted
+    with vox_node resolved; the append-only tail carries the emitting leaf in
+    vox_node (any descendant works: anc[leaf, l] == anc[node, l]). This replaces
+    the 256 KB/node occupancy bitmaps, which do not scale on HBM.
 
 All capacities are static (EngineConfig); "allocation" is a watermark increment, exactly
 the role of the reference's AllocatorGlobal (utils.h.cu:180-227) but data-race-free.
@@ -81,12 +86,15 @@ class OctreeState:
     num_segments: jax.Array    # i32 scalar watermark
 
     # --- voxel store (1-D columns) ---
-    vox_node: jax.Array        # i32 [voxel_capacity + pad]
-    vox_cell: jax.Array        # i32 packed 21-bit cell
+    vox_k0: jax.Array          # i32 [voxel_capacity + pad] global key word 0
+    vox_k1: jax.Array          # i32 key word 1
+    vox_k2l: jax.Array         # i32 key word 2 | level (morton.key_words_at_level)
+    vox_node: jax.Array        # i32 emitting leaf (tail) / resolved node (compacted)
     vox_rgba: jax.Array        # u32
     vox_used: jax.Array        # i32 scalar watermark (compacted + tail)
     vox_compacted: jax.Array   # i32 scalar: rows [0, vox_compacted) are sorted+deduped
-    vox_off: jax.Array         # i32 [node_capacity + 1] CSR into the compacted prefix
+    vox_voff: jax.Array        # i32 [node_capacity] per-node row offset (compacted)
+    vox_vcnt: jax.Array        # i32 [node_capacity] per-node voxel count (compacted)
 
     # --- octree domain (fixed at reset; reference Uniforms boxMin/boxMax) ---
     box_min: jax.Array         # f32 [3]
@@ -147,11 +155,14 @@ def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
         seg_off=jnp.zeros((cfg.segment_capacity,), i32),
         seg_cnt=jnp.zeros((cfg.segment_capacity,), i32),
         num_segments=jnp.asarray(0, i32),
+        vox_k0=jnp.zeros((v_cap,), i32),
+        vox_k1=jnp.zeros((v_cap,), i32),
+        vox_k2l=jnp.zeros((v_cap,), i32),
         vox_node=jnp.zeros((v_cap,), i32),
-        vox_cell=jnp.zeros((v_cap,), i32),
         vox_rgba=jnp.zeros((v_cap,), jnp.uint32),
         vox_used=jnp.asarray(0, i32), vox_compacted=jnp.asarray(0, i32),
-        vox_off=jnp.zeros((n_cap + 1,), i32),
+        vox_voff=jnp.zeros((n_cap,), i32),
+        vox_vcnt=jnp.zeros((n_cap,), i32),
         box_min=box_min, cube_size=cube_size,
         num_points_processed=jnp.asarray(0, i32),
         num_points_dropped=jnp.asarray(0, i32),

@@ -152,6 +152,42 @@ def cell_to_xyz(cell: jnp.ndarray):
     return cx, cy, cz
 
 
+def key_words_at_level(w0, w1, w2, level):
+    """Global voxel-cell identity key: Morton words masked to the top
+    3*(level + GRID_BITS) bits, with `level` packed into k2's low 5 bits.
+
+    A level-l voxel cell is identified globally by (l, per-axis prefix
+    q >> (MAX_DEPTH + 1 - l)) — the node's top-l bits ++ the 7 cell bits (reference
+    sampleVoxel leveling, progressive_octree_voxels.cu:78-86). Interleaved, that is
+    the top 3*(l+7) bits of the 84-bit code. Voxels live on nodes at level <= 19,
+    so at most 26 octant levels are kept and w2's low 6 bits are always zero —
+    the 5-bit level rides there, making (k0, k1, k2l) a complete, lexicographically
+    sortable key (equal keys <=> same voxel cell)."""
+    keep = level + C.GRID_BITS
+    words = []
+    off = 0
+    for w, nlev in zip((w0, w1, w2), WORD_LEVELS):
+        k = jnp.clip(keep - off, 0, nlev)
+        drop = 3 * (nlev - k)
+        mask = ~((jnp.uint32(1) << drop.astype(jnp.uint32)) - jnp.uint32(1))
+        words.append((w.astype(jnp.uint32) & mask).astype(jnp.int32))
+        off += nlev
+    k0, k1, k2 = words
+    return k0, k1, k2 | level
+
+
+def key_words_decode(k0, k1, k2l):
+    """Inverse of key_words_at_level: (level, local 128^3 cell coords cx,cy,cz).
+
+    The per-axis prefix is q >> (MAX_DEPTH + 1 - level); its low GRID_BITS bits are
+    the cell coords within the owning node (cell_at_level semantics)."""
+    level = k2l & 31
+    qx, qy, qz = decode(k0, k1, k2l & ~31)
+    shift = (C.MAX_DEPTH + 1) - level
+    m = C.GRID_SIZE - 1
+    return level, (qx >> shift) & m, (qy >> shift) & m, (qz >> shift) & m
+
+
 def prefix_at_level(qx, qy, qz, level):
     """Per-axis coordinate prefixes identifying the (node, 128^3-cell) pair at `level`.
 

@@ -84,13 +84,16 @@ def gather_point_samples(cfg: EngineConfig, state: OctreeState,
 
 def gather_voxel_samples(cfg: EngineConfig, state: OctreeState,
                          emitted: jax.Array, window: int | None = None) -> Samples:
-    """Expand emitted nodes' voxel CSR ranges; positions are the stored cell centers
-    (reference sampleVoxel voxels.cu:103-115: nodeMin + nodeSize*(cell+0.5)/128)."""
-    counts = jnp.where(emitted, state.vox_off[1:] - state.vox_off[:-1], 0)
-    offs = jnp.where(emitted, state.vox_off[:-1], 0)
+    """Expand emitted nodes' voxel ranges; positions are the stored cell centers
+    (reference sampleVoxel voxels.cu:103-115: nodeMin + nodeSize*(cell+0.5)/128).
+    Cell coords come from the global prefix keys (morton.key_words_decode)."""
+    counts = jnp.where(emitted, state.vox_vcnt, 0)
+    offs = jnp.where(emitted, state.vox_voff, 0)
     W = ((window or cfg.max_render_voxels) // 128) * 128
     p = ragged.plan(offs, counts, W)
-    cell = ragged.gather_column(p, state.vox_cell)
+    k0 = ragged.gather_column(p, state.vox_k0)
+    k1 = ragged.gather_column(p, state.vox_k1)
+    k2l = ragged.gather_column(p, state.vox_k2l)
     rgba = jax.lax.bitcast_convert_type(
         ragged.gather_column(p, jax.lax.bitcast_convert_type(
             state.vox_rgba, jnp.int32).astype(jnp.int32)), jnp.uint32)
@@ -103,7 +106,7 @@ def gather_voxel_samples(cfg: EngineConfig, state: OctreeState,
     size = state.cube_size / jnp.exp2(lvl.astype(jnp.float32))
     # float op order matches the reference exactly (sampleVoxel voxels.cu:103-115):
     # nodeMin = X*nodeSize + min; voxel = nodeMin + nodeSize*(cell+0.5)/128
-    cxi, cyi, czi = morton.cell_to_xyz(cell)
+    _, cxi, cyi, czi = morton.key_words_decode(k0, k1, k2l)
     g = jnp.float32(C.GRID_SIZE)
     x = (ragged.broadcast_i32(p, state.nx).astype(jnp.float32) * size
          + state.box_min[0]) + size * ((cxi.astype(jnp.float32) + 0.5) / g)

@@ -1,26 +1,34 @@
 """Tile-binned sort-based rasterizer — the TPU-native replacement for the
 reference's 64-bit atomicMin framebuffer splats (render.cu:95-99, 487-493).
 
-TPUs have no global atomics and XLA scatters cost ~20 ns per attempted row, so the
+TPUs have no global atomics and XLA scatters cost ~8 ns per attempted row, so the
 scatter-based path (render/raster.py) pays hundreds of ms per frame. This path
-restructures rasterization around one sort and one Pallas kernel:
+restructures rasterization around one sort, one XLA prepass, and one Pallas kernel:
 
   1. project all samples -> (pixel, depth, color)                    [XLA, VPU]
-  2. sort samples by (pixel, depth_bits, color_bits)                 [XLA, ~4 ns/row]
+  2. sort samples by (pixel, depth_bits, color_key)                  [XLA, ~2 ns/row]
      After the sort each pixel's samples are one contiguous run whose FIRST row is
      the u64-atomicMin winner (min depth, then min color — the exact tiebreak of
      `(depth<<32)|rgba` in render.cu:95-99).
-  3. a Pallas kernel walks the sorted stream once, gridded over framebuffer tiles
-     of T pixels. Per chunk of K samples it builds a one-hot [K, T] matrix from the
-     local pixel ids; "scatter" and "gather" both become MXU matmuls:
-        depth_buf[T] += onehot^T @ (winner ? depth : 0)     (depth placement)
-        wd[K]         = onehot   @ depth_buf                (per-sample winner depth)
-        acc[T,4]     += onehot^T @ (accept ? (r,g,b,1) : 0) (HQS accumulate)
-     where accept = depth < wd * 1.01 (render.cu:487). Chunks run in order (TPU
-     Pallas grids are sequential), so a run's winner is always placed before any of
-     its rows is accept-tested. Plain mode accumulates the winner's color halves
-     instead of the HQS sums.
-  4. resolve to RGBA + depth bits per tile                           [in-kernel, VPU]
+  3. XLA prepass: the winner flag is a run-start compare; the winner DEPTH is
+     carried to every row of its run by one take-last scan; the HQS accept test
+     (depth < wd * 1.01, render.cu:487) and all mode logic happen here on the VPU.
+     Every output quantity is PREMULTIPLIED into 12 bf16 byte-plane columns
+     (r,g,b,count × accept-or-winner; 4 winner-depth bytes; 4 winner-color bytes)
+     — bytes are <= 255 so bf16 is exact, and each framebuffer cell receives every
+     contribution of exactly-representable terms summed in f32. Four more bf16
+     columns carry the ADDRESS exactly: local pixel id split hi/lo (< 8, < 128)
+     and owning-tile id split hi/lo bytes — 16 columns total, exactly one bf16
+     sublane tile, so the kernel needs no separate (misaligned) i32 pixel buffer.
+  4. a Pallas kernel walks the sorted stream once, gridded over framebuffer tiles
+     of T pixels. Per chunk of K samples it rebuilds the local pixel ids from the
+     address columns, masks rows whose tile id is not this tile (shared edge
+     chunks, sort padding), builds a one-hot [K, T] bf16 matrix, and performs ONE
+     MXU matmul:
+        state[T, 16] += onehot^T @ cols[K, 16]
+     Chunks run in order but carry no sequential dependency (winners were resolved
+     in the prepass), so the whole kernel is a pure binned accumulation.
+  5. resolve to RGBA + exact depth bits per tile (byte-plane reassembly) [VPU]
 
 Tile sample ranges come from one searchsorted over tile boundaries (the stream is
 pixel-sorted); skewed tiles simply loop over more chunks — total work stays
@@ -29,7 +37,6 @@ O(samples + tiles).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -38,32 +45,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
 from ..config import EngineConfig, Uniforms
+from ..ops.segments import take_last
 from . import raster
 
 TILE = 1024          # framebuffer pixels per tile (multiple of 128)
 CHUNK = 1024         # samples processed per kernel inner iteration
+NCOLS = 16           # bf16 columns per sample: 12 values + 4 address bytes
 
 
 def _make_kernel(tile: int, chunk: int):
     def _kernel(offs_ref,        # scalar prefetch: [n_tiles+1] i32 sample offsets
                 mode_ref,        # scalar prefetch: [1] i32 (1 = HQS, 0 = plain)
-                cols_hbm,        # [8, S] f32 in HBM: pix, depth, win, r, g, b, lo, hi
+                cols_hbm,        # [NCOLS, S] bf16 premultiplied value columns
                 color_out,       # [8, tile//8] u32 block (tile pixels, row-major)
                 depth_out,       # [8, tile//8] i32 block
-                cols_vmem,       # scratch [2, 8, chunk] f32 (double buffered)
-                state_vmem,      # scratch [tile, 8] f32: col 0 depth, 1-4 acc
+                cols_vmem,       # scratch [2, NCOLS, chunk] bf16 (double buffered)
+                state_vmem,      # scratch [tile, NCOLS] f32 accumulators
                 sem):            # DMA semaphores [2]
         t = pl.program_id(0)
-        tile_start = t * tile
         lo = offs_ref[t]
         hi = offs_ref[t + 1]
-        # chunk-aligned coverage (prefix/suffix rows are masked by pixel range)
+        # chunk-aligned coverage (prefix/suffix rows are masked by tile id)
         c0 = lo // chunk
         c1 = (hi + chunk - 1) // chunk
-        hqs = mode_ref[0] == 1
 
-        state_vmem[:, :] = jnp.zeros((tile, 8), jnp.float32)
-
+        state_vmem[:, :] = jnp.zeros((tile, NCOLS), jnp.float32)
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile), 1)
 
         def dma_for(c, slot):
@@ -83,67 +89,50 @@ def _make_kernel(tile: int, chunk: int):
                 dma_for(c + 1, (c + 1) % 2).start()
 
             dma_for(c, slot).wait()
-            pix = cols_vmem[slot, 0, :].astype(jnp.int32) - tile_start
-            depth = cols_vmem[slot, 1, :]
-            win = cols_vmem[slot, 2, :]
-            inb = (pix >= 0) & (pix < tile)
-            oh = (pix[:, None] == col_iota).astype(jnp.float32)  # [chunk, tile]
-
-            winb = jnp.where(inb, win, 0.0)
-            # depth placement: each pixel has exactly one winner row stream-wide
-            dcol = (winb * depth)[:, None]                       # [chunk, 1]
-            dplace = jax.lax.dot_general(
-                oh, dcol, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)              # [tile, 1]
-            new_depth = state_vmem[:, 0:1] + dplace
-            state_vmem[:, 0:1] = new_depth
-
-            # per-sample winner depth (gather as matmul)
-            wd = jax.lax.dot_general(
-                oh, new_depth, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)[:, 0]        # [chunk]
-
-            accept = inb & (depth < wd * 1.01)
-            r, g, b = (cols_vmem[slot, 3, :], cols_vmem[slot, 4, :],
-                       cols_vmem[slot, 5, :])
-            clo, chi = cols_vmem[slot, 6, :], cols_vmem[slot, 7, :]
-            one = jnp.ones_like(depth)
-            am = jnp.where(hqs, accept.astype(jnp.float32), winb)
-            v0 = jnp.where(hqs, r, clo)
-            v1 = jnp.where(hqs, g, chi)
-            v2 = jnp.where(hqs, b, 0.0)
-            vals = jnp.stack([v0 * am, v1 * am, v2 * am, one * am], axis=-1)
+            vals = cols_vmem[slot]                                # [NCOLS, chunk]
+            # rebuild the local pixel id and owning tile from the exact bf16
+            # address bytes; rows of other tiles (shared edge chunks, sort
+            # padding) get pix == -1 and match no one-hot column
+            lpix = (vals[12].astype(jnp.int32) * 128
+                    + vals[13].astype(jnp.int32))
+            trow = (vals[14].astype(jnp.int32)
+                    + vals[15].astype(jnp.int32) * 256)
+            pix = jnp.where(trow == t, lpix, -1)
+            oh = (pix[:, None] == col_iota).astype(jnp.bfloat16)  # [chunk, tile]
             acc = jax.lax.dot_general(
-                oh, vals, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)              # [tile, 4]
-            state_vmem[:, 1:5] = state_vmem[:, 1:5] + acc
+                oh, vals, dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)               # [tile, NCOLS]
+            state_vmem[:, :] = state_vmem[:, :] + acc
             return 0
 
         jax.lax.fori_loop(c0, c1, chunk_body, 0, unroll=False)
 
-        dbuf = state_vmem[:, 0]
-        covered = dbuf > 0.0
-        cnt = jnp.maximum(state_vmem[:, 4], 1.0)
+        hqs = mode_ref[0] == 1
+        cnt = state_vmem[:, 3]
+        covered = cnt > 0.0
+        cnt = jnp.maximum(cnt, 1.0)
 
         def q8(x):
             return (jnp.floor(x).astype(jnp.int32).astype(jnp.uint32)
                     & jnp.uint32(0xFF))
 
-        hq_color = (q8(state_vmem[:, 1] / cnt)
-                    | (q8(state_vmem[:, 2] / cnt) << 8)
-                    | (q8(state_vmem[:, 3] / cnt) << 16)
+        def b8(i):  # exact byte plane -> u32 (each cell got exactly one winner)
+            return state_vmem[:, i].astype(jnp.int32).astype(jnp.uint32) \
+                & jnp.uint32(0xFF)
+
+        hq_color = (q8(state_vmem[:, 0] / cnt)
+                    | (q8(state_vmem[:, 1] / cnt) << 8)
+                    | (q8(state_vmem[:, 2] / cnt) << 16)
                     | jnp.uint32(0xFF000000))
-        pl_color = (state_vmem[:, 1].astype(jnp.int32).astype(jnp.uint32)
-                    | (state_vmem[:, 2].astype(jnp.int32).astype(jnp.uint32)
-                       << 16))
+        pl_color = b8(8) | (b8(9) << 8) | (b8(10) << 16) | (b8(11) << 24)
         color = jnp.where(hqs, hq_color, pl_color)
+        dbits = (b8(4) | (b8(5) << 8) | (b8(6) << 16) | (b8(7) << 24)) \
+            .astype(jnp.int32)
         bg = jnp.uint32(C.BACKGROUND_COLOR)
         lanes = tile // 8
         color_out[:, :] = jnp.where(covered, color, bg).reshape(8, lanes)
-        inf_bits = jnp.int32(C.DEPTH_INF_BITS)
-        depth_out[:, :] = jnp.where(
-            covered, jax.lax.bitcast_convert_type(dbuf, jnp.int32),
-            inf_bits).reshape(8, lanes)
+        depth_out[:, :] = jnp.where(covered, dbits,
+                                    jnp.int32(C.DEPTH_INF_BITS)).reshape(8, lanes)
 
     return _kernel
 
@@ -154,7 +143,7 @@ def _raster_kernel_call(cols, n_tiles: int, interpret: bool, tile: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((8, tile // 8), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -162,8 +151,8 @@ def _raster_kernel_call(cols, n_tiles: int, interpret: bool, tile: int,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, chunk), jnp.float32),
-            pltpu.VMEM((tile, 8), jnp.float32),
+            pltpu.VMEM((2, NCOLS, chunk), jnp.bfloat16),
+            pltpu.VMEM((tile, NCOLS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -203,40 +192,59 @@ def rasterize_tiles(cfg: EngineConfig, uniforms: Uniforms, width: int, height: i
     db = jnp.concatenate(dbits)
     col = jnp.concatenate(colors)
 
-    # sort by (pixel, depth bits, color bits): run start == u64 atomicMin winner.
-    # color key has the sign bit flipped so i32 order matches unsigned order.
+    # sort by (pixel, depth bits, color key): run start == u64 atomicMin winner.
+    # color key has the sign bit flipped so i32 order matches unsigned order; the
+    # color itself is recovered from the key (no 4th payload).
     ckey = jax.lax.bitcast_convert_type(col ^ jnp.uint32(0x80000000), jnp.int32)
-    spix, sdb, _, scol = jax.lax.sort((pix, db, ckey, col), num_keys=3,
-                                      is_stable=False)
+    spix, sdb, sck = jax.lax.sort((pix, db, ckey), num_keys=3, is_stable=False)
+    scol = jax.lax.bitcast_convert_type(sck, jnp.uint32) ^ jnp.uint32(0x80000000)
 
-    valid_row = spix < npad
-    win = (spix != jnp.roll(spix, 1)).at[0].set(True) & valid_row
-    # invalid rows carry +inf depth; zero it so 0-weighted matmul terms in the
-    # kernel never produce 0 * inf = NaN (which would poison whole tiles)
-    sdepth = jnp.where(valid_row,
-                       jax.lax.bitcast_convert_type(sdb, jnp.float32), 0.0)
+    # --- XLA prepass: winner flag, carried winner depth, accept, premultiply ---
+    valid = spix < npad
+    win = (spix != jnp.roll(spix, 1)).at[0].set(True) & valid
+    winm = jnp.asarray(jnp.iinfo(jnp.int32).min, jnp.int32)
+    wdb = take_last(jnp.where(win, sdb, winm), sentinel=int(jnp.iinfo(jnp.int32).min))
+    wd = jax.lax.bitcast_convert_type(wdb, jnp.float32)
+    depth = jax.lax.bitcast_convert_type(sdb, jnp.float32)
+    accept = valid & (depth < wd * jnp.float32(1.01))
+    am = jnp.where(uniforms.use_high_quality_shading, accept, win)
+    amf = am.astype(jnp.bfloat16)
+    wf = win.astype(jnp.bfloat16)
 
-    S = spix.shape[0]
-    Spad = ((S + chunk - 1) // chunk) * chunk
-    padn = Spad - S
-    f32 = lambda a: a.astype(jnp.float32)
+    def byte(v, k):
+        return ((v >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
+
+    sdbu = jax.lax.bitcast_convert_type(sdb, jnp.uint32)
+    # address columns: local pixel id split (hi < 8, lo < 128) and tile id split
+    # into bytes — all exactly representable in bf16 (pad rows land on tile
+    # n_tiles, which no kernel program claims)
+    lpix = spix % tile
+    trow = spix // tile
     cols = jnp.stack([
-        f32(spix), sdepth, f32(win),
-        f32(scol & 0xFF), f32((scol >> 8) & 0xFF), f32((scol >> 16) & 0xFF),
-        f32(scol & 0xFFFF), f32(scol >> 16),
-    ], axis=0)
-    if padn:
-        pad = jnp.zeros((8, padn), jnp.float32)
-        pad = pad.at[0, :].set(jnp.float32(npad))   # out-of-range pixel -> masked
-        cols = jnp.concatenate([cols, pad], axis=1)
+        byte(scol, 0) * amf, byte(scol, 1) * amf, byte(scol, 2) * amf, amf,
+        byte(sdbu, 0) * wf, byte(sdbu, 1) * wf,
+        byte(sdbu, 2) * wf, byte(sdbu, 3) * wf,
+        byte(scol, 0) * wf, byte(scol, 1) * wf,
+        byte(scol, 2) * wf, byte(scol, 3) * wf,
+        (lpix // 128).astype(jnp.bfloat16), (lpix % 128).astype(jnp.bfloat16),
+        (trow % 256).astype(jnp.bfloat16), (trow // 256).astype(jnp.bfloat16),
+    ], axis=0)                                   # [NCOLS, S] bf16
 
     # per-tile sample offsets: the stream is pixel-sorted, so tile ranges come from
     # one small binary search (n_tiles+1 probes) instead of any scatter
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile
     offs = jnp.searchsorted(spix, bounds, side="left").astype(jnp.int32)
+
+    S = spix.shape[0]
+    Spad = ((S + chunk - 1) // chunk) * chunk
+    if Spad != S:
+        # pad rows: zero values, tile id bytes pointing past the last tile
+        pad = jnp.zeros((NCOLS, Spad - S), jnp.bfloat16)
+        pad = pad.at[14, :].set(jnp.bfloat16(255)).at[15, :].set(jnp.bfloat16(255))
+        cols = jnp.concatenate([cols, pad], axis=1)
     mode = jnp.where(uniforms.use_high_quality_shading, 1, 0).astype(
         jnp.int32).reshape(1)
 
-    color, depth = _raster_kernel_call(cols, n_tiles, interpret, tile, chunk,
-                                       offs, mode)
-    return color[:npx], depth[:npx]
+    color, depth_bits = _raster_kernel_call(cols, n_tiles, interpret, tile,
+                                            chunk, offs, mode)
+    return color[:npx], depth_bits[:npx]

@@ -142,18 +142,31 @@ def test_invariants(rng):
     for i in inner[:50]:
         for o in range(8):
             assert parent[child_base[i] + o] == i
-    # voxel store: after compaction, (node, cell) strictly increasing
+    # voxel store: after compaction, (level, global key) strictly increasing
     state = build.compact_voxels(CFG, state)
     vu = int(state.vox_used)
     vn = np.asarray(state.vox_node)[:vu]
-    vc = np.asarray(state.vox_cell)[:vu]
-    key = vn.astype(np.int64) * (1 << 21) + vc
-    assert (np.diff(key) > 0).all()
-    # CSR consistency
-    off = np.asarray(state.vox_off)
+    k0 = np.asarray(state.vox_k0)[:vu].astype(np.uint32).astype(np.int64)
+    k1 = np.asarray(state.vox_k1)[:vu].astype(np.uint32).astype(np.int64)
+    k2l = np.asarray(state.vox_k2l)[:vu].astype(np.uint32).astype(np.int64)
+    tup = np.stack([k2l & 31, k0, k1, k2l], axis=1)
+    assert all(tuple(tup[i]) < tuple(tup[i + 1]) for i in range(vu - 1))
+    # directory consistency: per-node spans are disjoint, cover [0, vu), and
+    # vcnt matches num_voxels; within a node rows share the node's level
+    voff = np.asarray(state.vox_voff)
+    vcnt = np.asarray(state.vox_vcnt)
     nv = np.asarray(state.num_voxels)
-    assert (off[1:] - off[:-1] == nv).all()
-    assert off[-1] == vu
+    assert (vcnt == nv).all()
+    assert vcnt.sum() == vu
+    covered = np.zeros(vu, bool)
+    level = np.asarray(state.level)
+    for i in np.nonzero(vcnt)[0]:
+        o0, o1 = voff[i], voff[i] + vcnt[i]
+        assert not covered[o0:o1].any()
+        covered[o0:o1] = True
+        assert (vn[o0:o1] == i).all()
+        assert ((k2l[o0:o1] & 31) == level[i]).all()
+    assert covered.all()
     # voxels only on inner nodes (or root)
     owners = np.unique(vn)
     assert all((child_base[o] >= 0) or (o == 0) for o in owners)

@@ -38,10 +38,12 @@ def oracle_filter(state):
     parent = np.asarray(state.parent)[:n]
     level = np.asarray(state.level)[:n]
     nx, ny, nz = (np.asarray(a)[:n] for a in (state.nx, state.ny, state.nz))
-    vox_off = np.asarray(state.vox_off)
+    from simlod_tpu.octree.inspect import voxel_cells
+    vox_voff = np.asarray(state.vox_voff)
+    vox_vcnt = np.asarray(state.vox_vcnt)
     vu = int(state.vox_used)
     vox_node = np.asarray(state.vox_node)[:vu]
-    vox_cell = np.asarray(state.vox_cell)[:vu].copy()
+    vox_cell = voxel_cells(state).copy()
     vox_rgba = np.asarray(state.vox_rgba)[:vu].copy()
     # per-node stored points
     ns = int(state.num_segments)
@@ -71,7 +73,7 @@ def oracle_filter(state):
                 return np.zeros((0, 3), np.int64), np.zeros(0, np.uint32)
             return np.concatenate(qs), np.concatenate(cs)
         # inner: its (already filtered) voxels; center coords at level+7 resolution
-        o0, o1 = vox_off[i], vox_off[i + 1]
+        o0, o1 = vox_voff[i], vox_voff[i] + vox_vcnt[i]
         cells = vox_cell[o0:o1]
         cx = (cells >> 14) & 127
         cy = (cells >> 7) & 127
@@ -101,7 +103,7 @@ def oracle_filter(state):
                     r, g, b = col & 0xFF, (col >> 8) & 0xFF, (col >> 16) & 0xFF
                     e = acc.setdefault(int(k), [0, 0, 0, 0])
                     e[0] += int(r); e[1] += int(g); e[2] += int(b); e[3] += 1
-            o0, o1 = vox_off[i], vox_off[i + 1]
+            o0, o1 = vox_voff[i], vox_voff[i] + vox_vcnt[i]
             assert set(vox_cell[o0:o1].tolist()) == set(acc.keys()), \
                 f"cell sets differ at node {i}"
             for j in range(o0, o1):
@@ -130,11 +132,12 @@ def test_filter_preserves_structure(rng):
     xyz = rng.random((3000, 3)).astype(np.float32)
     rgba = np.full(3000, 0x00405060, np.uint32)
     state = build_state(xyz, rgba)
+    from simlod_tpu.octree.inspect import voxel_cells
     before = (int(state.num_nodes), int(state.vox_used),
-              np.asarray(state.vox_cell)[:int(state.vox_used)].copy())
+              voxel_cells(state).copy())
     state = colorfilter.filter_colors(CFG, state)
     after = (int(state.num_nodes), int(state.vox_used),
-             np.asarray(state.vox_cell)[:int(state.vox_used)])
+             voxel_cells(state))
     assert before[0] == after[0] and before[1] == after[1]
     np.testing.assert_array_equal(before[2], after[2])
     # uniform input colors -> averages stay that color
