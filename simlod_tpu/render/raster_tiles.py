@@ -48,20 +48,25 @@ from ..config import EngineConfig, Uniforms
 from ..ops.segments import take_last
 from . import raster
 
-TILE = 1024          # framebuffer pixels per tile (multiple of 128)
-CHUNK = 1024         # samples processed per kernel inner iteration
+TILE = 512           # framebuffer pixels per tile (multiple of 128)
+CHUNK = 512          # samples processed per kernel inner iteration
+# (512/512 swept fastest on v5e at 4M samples/1080p: 14.0 ms vs 16.7 for
+#  1024/1024 — the kernel is bound by a ~0.5 us/chunk fixed cost plus ~2.4 ns
+#  per 1K one-hot elements, so smaller tiles win until boundary-chunk
+#  duplication at n_tiles ~ 8k overtakes; see scripts/raster_tpu_check.py)
 NCOLS = 16           # bf16 columns per sample: 12 values + 4 address bytes
+NBUF = 4             # chunk DMA pipeline depth
 
 
 def _make_kernel(tile: int, chunk: int):
     def _kernel(offs_ref,        # scalar prefetch: [n_tiles+1] i32 sample offsets
                 mode_ref,        # scalar prefetch: [1] i32 (1 = HQS, 0 = plain)
-                cols_hbm,        # [NCOLS, S] bf16 premultiplied value columns
+                cols_hbm,        # [S//chunk, NCOLS, chunk] bf16 value columns
                 color_out,       # [8, tile//8] u32 block (tile pixels, row-major)
                 depth_out,       # [8, tile//8] i32 block
-                cols_vmem,       # scratch [2, NCOLS, chunk] bf16 (double buffered)
+                cols_vmem,       # scratch [NBUF, NCOLS, chunk] bf16 ring buffer
                 state_vmem,      # scratch [tile, NCOLS] f32 accumulators
-                sem):            # DMA semaphores [2]
+                sem):            # DMA semaphores [NBUF]
         t = pl.program_id(0)
         lo = offs_ref[t]
         hi = offs_ref[t + 1]
@@ -70,37 +75,44 @@ def _make_kernel(tile: int, chunk: int):
         c1 = (hi + chunk - 1) // chunk
 
         state_vmem[:, :] = jnp.zeros((tile, NCOLS), jnp.float32)
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, tile), 1)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, chunk), 0)
 
+        # one contiguous chunk-block DMA per iteration (the chunk-major HBM
+        # layout avoids NCOLS separate strided row segments per transfer),
+        # pipelined NBUF deep
         def dma_for(c, slot):
             return pltpu.make_async_copy(
-                cols_hbm.at[:, pl.ds(c * chunk, chunk)],
-                cols_vmem.at[slot], sem.at[slot])
+                cols_hbm.at[c], cols_vmem.at[slot], sem.at[slot])
 
-        @pl.when(c0 < c1)
-        def _():
-            dma_for(c0, c0 % 2).start()
+        for k in range(NBUF - 1):
+            @pl.when(c0 + k < c1)
+            def _():
+                dma_for(c0 + k, (c0 + k) % NBUF).start()
 
         def chunk_body(c, _):
-            slot = c % 2
+            slot = c % NBUF
 
-            @pl.when(c + 1 < c1)
+            @pl.when(c + (NBUF - 1) < c1)
             def _():
-                dma_for(c + 1, (c + 1) % 2).start()
+                dma_for(c + (NBUF - 1), (c + (NBUF - 1)) % NBUF).start()
 
             dma_for(c, slot).wait()
             vals = cols_vmem[slot]                                # [NCOLS, chunk]
             # rebuild the local pixel id and owning tile from the exact bf16
             # address bytes; rows of other tiles (shared edge chunks, sort
-            # padding) get pix == -1 and match no one-hot column
+            # padding) get pix == -1 and match no one-hot row. The one-hot is
+            # built TRANSPOSED [tile, chunk]: the (chunk,) pixel vector stays in
+            # lanes (broadcast along sublanes is free; a [chunk, tile] layout
+            # would pay a lane->sublane transpose of pix every chunk) and the
+            # matmul contracts dim 1 of both operands.
             lpix = (vals[12].astype(jnp.int32) * 128
                     + vals[13].astype(jnp.int32))
             trow = (vals[14].astype(jnp.int32)
                     + vals[15].astype(jnp.int32) * 256)
             pix = jnp.where(trow == t, lpix, -1)
-            oh = (pix[:, None] == col_iota).astype(jnp.bfloat16)  # [chunk, tile]
+            oh = (pix[None, :] == row_iota).astype(jnp.bfloat16)  # [tile, chunk]
             acc = jax.lax.dot_general(
-                oh, vals, dimension_numbers=(((0,), (1,)), ((), ())),
+                oh, vals, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)               # [tile, NCOLS]
             state_vmem[:, :] = state_vmem[:, :] + acc
             return 0
@@ -151,9 +163,9 @@ def _raster_kernel_call(cols, n_tiles: int, interpret: bool, tile: int,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NCOLS, chunk), jnp.bfloat16),
+            pltpu.VMEM((NBUF, NCOLS, chunk), jnp.bfloat16),
             pltpu.VMEM((tile, NCOLS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     color, depth = pl.pallas_call(
@@ -242,6 +254,8 @@ def rasterize_tiles(cfg: EngineConfig, uniforms: Uniforms, width: int, height: i
         pad = jnp.zeros((NCOLS, Spad - S), jnp.bfloat16)
         pad = pad.at[14, :].set(jnp.bfloat16(255)).at[15, :].set(jnp.bfloat16(255))
         cols = jnp.concatenate([cols, pad], axis=1)
+    # chunk-major layout: each kernel DMA is one contiguous (NCOLS, chunk) block
+    cols = cols.reshape(NCOLS, Spad // chunk, chunk).transpose(1, 0, 2)
     mode = jnp.where(uniforms.use_high_quality_shading, 1, 0).astype(
         jnp.int32).reshape(1)
 
