@@ -122,18 +122,18 @@ def main() -> int:
     orbit.focus_box(np.zeros(3), box_max)
     c.world = orbit.world()
     u = Uniforms.make(WIDTH, HEIGHT, c.transform(), settings=Settings())
-    t_c = time.perf_counter()
-    img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u)  # compile (full caps)
-    jax.block_until_ready(img)
-    log(f"render compiled in {time.perf_counter()-t_c:.0f}s")
+    from simlod_tpu.render.render import probe_visible_counts
+    nvp, nvv = probe_visible_counts(state, u)  # cheap: no raster program compiled
     # engine-style adaptive windows from the measured visible counts
     def bucket(n, cap):
         n = max(int(n * 1.25) + 1024, 1 << 18)
         return min(1 << (n - 1).bit_length(), cap)
-    pw = bucket(int(fstats.num_visible_points), cfg.max_render_points)
-    vw = bucket(int(fstats.num_visible_voxels), cfg.max_render_voxels)
+    pw = bucket(int(nvp), cfg.max_render_points)
+    vw = bucket(int(nvv), cfg.max_render_voxels)
+    t_c = time.perf_counter()
     img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw)  # compile bucket
     jax.block_until_ready(img)
+    log(f"render (pw={pw}, vw={vw}) compiled in {time.perf_counter()-t_c:.0f}s")
     t0 = time.perf_counter()
     n_frames = 5
     for _ in range(n_frames):

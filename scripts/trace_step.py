@@ -85,14 +85,14 @@ def main():
         orbit.focus_box(np.zeros(3), box_max)
         c.world = orbit.world()
         u = Uniforms.make(WIDTH, HEIGHT, c.transform(), settings=Settings())
-        img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u)
-        jax.block_until_ready(img)
+        from simlod_tpu.render.render import probe_visible_counts
+        nvp, nvv = probe_visible_counts(state, u)
 
         def bucket(nv, cap):
             nv = max(int(nv * 1.25) + 1024, 1 << 18)
             return min(1 << (nv - 1).bit_length(), cap)
-        pw = bucket(int(fstats.num_visible_points), cfg.max_render_points)
-        vw = bucket(int(fstats.num_visible_voxels), cfg.max_render_voxels)
+        pw = bucket(int(nvp), cfg.max_render_points)
+        vw = bucket(int(nvv), cfg.max_render_voxels)
         img, _ = render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw)
         jax.block_until_ready(img)
         with jax.profiler.trace(tdir):

@@ -87,6 +87,16 @@ render_frame = functools.partial(
     jax.jit, static_argnums=(0, 2, 3, 5, 6))(render_frame_impl)
 
 
+@jax.jit
+def probe_visible_counts(state: OctreeState, uniforms: Uniforms):
+    """(num_visible_points, num_visible_voxels) without rendering — lets callers
+    size the sample windows BEFORE compiling any rasterization program (a
+    full-capacity render exists only to be thrown away otherwise, and the
+    full-window compile is by far the most expensive in the pipeline)."""
+    vis = visibility.compute_visibility(state, uniforms)
+    return vis.num_visible_points, vis.num_visible_voxels
+
+
 def image_to_rgba8(img_u32) -> "np.ndarray":
     """u32 abgr words -> [H, W, 4] uint8 (R = low byte, like the reference)."""
     import numpy as np
