@@ -94,7 +94,9 @@ class EngineConfig:
 
     @property
     def working_capacity(self) -> int:
-        return self.step_points + self.spill_capacity
+        # the pool append window is the full routed batch width (points +
+        # interleaved boundary junk, build.Work), hence + boundary_window
+        return self.step_points + self.spill_capacity + self.boundary_window
 
 
 @dataclasses.dataclass

@@ -54,17 +54,26 @@ I32_MAX = jnp.iinfo(jnp.int32).max
 
 
 class Work(NamedTuple):
-    """The routed, Morton-sorted working batch."""
-    x: jax.Array        # [B] f32
+    """The routed, Morton-sorted working batch.
+
+    Width is B + boundary_window: the leaf-boundary rows merged in by route()
+    stay INTERLEAVED as invalid junk rows (compacting them out would cost a
+    second full-width multi-payload sort). A boundary sorts at its leaf's
+    Morton-interval start, before any of that leaf's points, so junk rows only
+    ever sit at leaf-run starts — every run's valid rows are one contiguous
+    stretch, which insert_points exploits (junk between runs becomes bounded
+    pool waste, tracked in state.pool_waste)."""
+    x: jax.Array        # [BW] f32
     y: jax.Array
     z: jax.Array
-    rgba: jax.Array     # [B] u32
-    qx: jax.Array       # [B] i32 quantized (28-bit)
+    rgba: jax.Array     # [BW] u32
+    qx: jax.Array       # [BW] i32 quantized (28-bit)
     qy: jax.Array
     qz: jax.Array
-    leaf: jax.Array     # [B] i32 current target leaf
-    lvl: jax.Array      # [B] i32 leaf level
-    count: jax.Array    # i32 scalar: rows [0, count) are valid
+    leaf: jax.Array     # [BW] i32 current target leaf
+    lvl: jax.Array      # [BW] i32 leaf level
+    count: jax.Array    # i32 scalar: number of VALID rows
+    valid: jax.Array    # [BW] bool: real routed points (junk/fill rows False)
 
 
 class Runs(NamedTuple):
@@ -149,12 +158,14 @@ def route(cfg: EngineConfig, state: OctreeState, x: jax.Array, y: jax.Array,
     carried = jnp.cumsum(sdelta)             # pack of the governing boundary
     is_pt = ((sk1 & 1) == 1) & (sk0 != mx)   # real points only (mx fill excluded)
 
-    (cx, cy, cz, cc, cpk), _ = compact_mask_via_sort(
-        is_pt, (sx, sy, sz, sc, jnp.maximum(carried, 0)))
-    cx, cy, cz, cc, cpk = cx[:B], cy[:B], cz[:B], cc[:B], cpk[:B]
-    cqx, cqy, cqz = morton.quantize_cols(cx, cy, cz, state.box_min, state.cube_size)
-    return state, Work(x=cx, y=cy, z=cz, rgba=cc, qx=cqx, qy=cqy, qz=cqz,
-                       leaf=cpk >> 5, lvl=cpk & 31, count=count)
+    # NO compaction: boundary/fill rows stay interleaved as invalid junk (see
+    # Work docstring). Junk rows inherit their own boundary's pack, so their
+    # leaf field matches the points that follow them — run detection needs only
+    # the valid mask (plus leaf-change for post-split adjacency).
+    cpk = jnp.maximum(carried, 0)
+    cqx, cqy, cqz = morton.quantize_cols(sx, sy, sz, state.box_min, state.cube_size)
+    return state, Work(x=sx, y=sy, z=sz, rgba=sc, qx=cqx, qy=cqy, qz=cqz,
+                       leaf=cpk >> 5, lvl=cpk & 31, count=count, valid=is_pt)
 
 
 def compute_runs(cfg: EngineConfig, work: Work) -> Runs:
@@ -167,17 +178,27 @@ def compute_runs(cfg: EngineConfig, work: Work) -> Runs:
     """
     B = work.leaf.shape[0]
     rowi = jnp.arange(B, dtype=jnp.int32)
-    valid = rowi < work.count
-    starts = run_starts(work.leaf, valid)
+    valid = work.valid
+    prev_valid = jnp.roll(valid, 1).at[0].set(False)
+    # a run starts at a valid row whose predecessor is junk (every leaf's batch
+    # run is preceded by its boundary row) or carries a different leaf (children
+    # created by this step's split rounds are adjacent with no junk between)
+    starts = valid & (~prev_valid | (work.leaf != jnp.roll(work.leaf, 1)))
     RW = min(cfg.run_window, B)
     (r_row_f,), n_runs = compact_mask_via_sort(starts, (rowi,))
     r_row = r_row_f[:RW]
     rw_i = jnp.arange(RW, dtype=jnp.int32)
     rv = rw_i < jnp.minimum(n_runs, RW)
-    # runs tile [0, count): run i ends where run i+1 starts
+    # a run's valid rows are contiguous from its start (junk sits before the
+    # NEXT run's first valid row), so the length is the valid-row-count
+    # difference between consecutive starts
     nxt = jnp.where(rw_i + 1 < n_runs,
-                    jnp.concatenate([r_row[1:], r_row[:1]]), work.count)
-    r_cnt = jnp.where(rv, jnp.maximum(nxt - r_row, 0), 0)
+                    jnp.concatenate([r_row[1:], r_row[:1]]), B)
+    ecs = jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
+    ecs_pad = jnp.concatenate([ecs, work.count[None]])
+    r_cnt = jnp.where(rv,
+                      gather1d(ecs_pad, jnp.clip(nxt, 0, B))
+                      - gather1d(ecs_pad, jnp.clip(r_row, 0, B)), 0)
     r_leaf = gather1d(work.leaf, jnp.where(rv, r_row, 0))
     return Runs(r_leaf=r_leaf, r_cnt=r_cnt, r_row=jnp.where(rv, r_row, B),
                 n_runs=n_runs)
@@ -226,7 +247,7 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
     B = work.leaf.shape[0]
     K = cfg.max_splits_per_round
     RW = runs.r_leaf.shape[0]
-    valid = jnp.arange(B, dtype=jnp.int32) < work.count
+    valid = work.valid
 
     rvalid = jnp.arange(RW, dtype=jnp.int32) < jnp.minimum(runs.n_runs, RW)
     lsafe = jnp.where(rvalid, runs.r_leaf, 0)
@@ -503,14 +524,19 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     """
     B = work.leaf.shape[0]
     rowi = jnp.arange(B, dtype=jnp.int32)
-    valid = rowi < work.count
+    valid = work.valid
     nlev = jnp.maximum(work.lvl, 1)
 
-    # common leading bits with the previous row (row 0: none)
+    # common leading bits with the previous row. A junk predecessor (boundary
+    # row, see Work docstring) is treated as sharing NO bits: the following
+    # point may then re-emit cells its true predecessor already covered — a
+    # bounded, within-batch duplicate that the store's first-arrival dedup
+    # removes (stable compaction keeps the earlier append)
+    prev_ok = jnp.roll(valid, 1) & (rowi != 0)
     xor3 = ((work.qx ^ jnp.roll(work.qx, 1))
             | (work.qy ^ jnp.roll(work.qy, 1))
             | (work.qz ^ jnp.roll(work.qz, 1)))
-    xor3 = jnp.where(rowi == 0, -1, xor3)
+    xor3 = jnp.where(prev_ok, xor3, -1)
     yv = (xor3.astype(jnp.uint32)) << (32 - C.FULL_GRID_BITS)
     yv = yv | (yv >> 1)
     yv = yv | (yv >> 2)
@@ -597,12 +623,16 @@ def insert_points(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs)
     s_cap = state.seg_node.shape[0]
     RW = runs.r_leaf.shape[0]
 
+    # the pool receives work rows VERBATIM up to the end of the last run (junk
+    # rows between runs become pool waste, bounded by the boundary directory
+    # size per step — tracked so a future defrag policy has a real signal)
+    rv0 = jnp.arange(RW, dtype=jnp.int32) < jnp.minimum(runs.n_runs, RW)
+    span = jnp.max(jnp.where(rv0, runs.r_row + runs.r_cnt, 0))
     room = jnp.maximum(cfg.point_capacity - state.pool_used, 0)
-    new_count = jnp.minimum(work.count, room)
-    dropped = work.count - new_count
-    state.mem_capacity_reached = state.mem_capacity_reached | (dropped > 0)
+    new_span = jnp.minimum(span, room)
+    state.mem_capacity_reached = state.mem_capacity_reached | (span > room)
 
-    # pool append (one dynamic-update-slice; rows past new_count are garbage beyond
+    # pool append (one dynamic-update-slice; rows past new_span are garbage beyond
     # the watermark and are overwritten by later appends)
     dus = jax.lax.dynamic_update_slice
     state.pt_x = dus(state.pt_x, work.x, (state.pool_used,))
@@ -610,12 +640,13 @@ def insert_points(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs)
     state.pt_z = dus(state.pt_z, work.z, (state.pool_used,))
     state.pt_rgba = dus(state.pt_rgba, work.rgba, (state.pool_used,))
 
-    # segments: one per leaf run (runs are ascending by row, so truncation at
-    # new_count only clips the tail)
+    # segments: one per leaf run (runs are ascending by row and each run's valid
+    # rows are contiguous from its start, so truncation at new_span only clips
+    # the tail)
     n_runs = jnp.minimum(runs.n_runs, RW)
     state.mem_capacity_reached = state.mem_capacity_reached | (runs.n_runs > RW)
-    r_start = jnp.minimum(runs.r_row, new_count)
-    r_end = jnp.minimum(runs.r_row + runs.r_cnt, new_count)
+    r_start = jnp.minimum(runs.r_row, new_span)
+    r_end = jnp.minimum(runs.r_row + runs.r_cnt, new_span)
     r_cnt = jnp.maximum(r_end - r_start, 0)
     rvalid = (jnp.arange(RW, dtype=jnp.int32) < n_runs) & (r_cnt > 0)
 
@@ -637,9 +668,11 @@ def insert_points(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs)
     state.node_seg_count = state.node_seg_count.at[addi].add(
         jnp.where(fit, 1, 0), mode="drop")
 
-    state.pool_used = state.pool_used + new_count
-    state.num_points_processed = state.num_points_processed + new_count
-    state.num_points_dropped = state.num_points_dropped + dropped
+    stored = jnp.sum(jnp.where(fit, r_cnt, 0))
+    state.pool_used = state.pool_used + new_span
+    state.pool_waste = state.pool_waste + (new_span - stored)
+    state.num_points_processed = state.num_points_processed + stored
+    state.num_points_dropped = state.num_points_dropped + (work.count - stored)
     return state
 
 

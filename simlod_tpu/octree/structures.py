@@ -68,6 +68,8 @@ class OctreeState:
     pt_z: jax.Array
     pt_rgba: jax.Array         # u32
     pool_used: jax.Array       # i32 scalar watermark
+    pool_waste: jax.Array      # i32 scalar: junk rows appended between segments
+                               # (interleaved boundary rows; see build.Work)
 
     # --- leaf-boundary directory (1-D columns, [node_capacity]) ---
     # Sorted Morton interval starts of the active leaves; route() merges the point
@@ -151,6 +153,7 @@ def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
         pt_z=jnp.zeros((p_cap,), jnp.float32),
         pt_rgba=jnp.zeros((p_cap,), jnp.uint32),
         pool_used=jnp.asarray(0, i32),
+        pool_waste=jnp.asarray(0, i32),
         seg_node=jnp.full((cfg.segment_capacity,), -1, i32),
         seg_off=jnp.zeros((cfg.segment_capacity,), i32),
         seg_cnt=jnp.zeros((cfg.segment_capacity,), i32),

@@ -133,18 +133,24 @@ def test_all_to_all_scales_per_chip_work(rng):
     # skipped render returns the background frame
     assert (np.asarray(img) == C.BACKGROUND_COLOR).all()
 
-    # ownership: every stored point lies inside its device's Morton brick range
+    # ownership: every SEGMENT-covered pool row lies inside its device's Morton
+    # brick range (the pool also holds junk rows between segments — interleaved
+    # boundary rows, build.Work — which carry no point data)
     level = shard.brick_level_for(n)
     pool = np.asarray(sstate.pt_x), np.asarray(sstate.pt_y), np.asarray(sstate.pt_z)
-    used = np.asarray(sstate.pool_used)
     from simlod_tpu.ops import morton as mort
+    seg_off = np.asarray(sstate.seg_off)
+    seg_cnt = np.asarray(sstate.seg_cnt)
+    seg_node = np.asarray(sstate.seg_node)
     for d in range(n):
-        m = used[d]
-        if m == 0:
+        rows = [np.arange(o, o + c_) for o, c_, sn in
+                zip(seg_off[d], seg_cnt[d], seg_node[d]) if c_ > 0 and sn >= 0]
+        if not rows:
             continue
+        idx = np.concatenate(rows)
         qx, qy, qz = (np.asarray(mort.quantize_cols(
-            jnp.asarray(pool[0][d][:m]), jnp.asarray(pool[1][d][:m]),
-            jnp.asarray(pool[2][d][:m]), jnp.zeros(3, np.float32),
+            jnp.asarray(pool[0][d][idx]), jnp.asarray(pool[1][d][idx]),
+            jnp.asarray(pool[2][d][idx]), jnp.zeros(3, np.float32),
             jnp.float32(1.0))[i]) for i in range(3))
         owner = np.asarray(shard._brick_owner(
             jnp.asarray(qx), jnp.asarray(qy), jnp.asarray(qz), level, n))
