@@ -55,8 +55,19 @@ def take_last(markers: jnp.ndarray, sentinel: int = -1) -> jnp.ndarray:
     (carry positions via cummax, then values[pos]: ~7 ns per gathered row on v5e).
     """
     s = jnp.asarray(sentinel, markers.dtype)
-    return jax.lax.associative_scan(
-        lambda a, b: jnp.where(b == s, a, b), markers)
+    # Hillis-Steele log-shift scan. jax.lax.associative_scan computes the same
+    # thing work-efficiently, but its recursive odd/even slicing takes XLA:TPU
+    # MINUTES to compile at multi-million row widths (measured: 3-key 4M sort
+    # 21 s, associative_scan 4M > 20 min); these log2(n) slice+concat steps
+    # compile in seconds and cost ~2x the HBM traffic at runtime.
+    n = markers.shape[0]
+    x = markers
+    k = 1
+    while k < n:
+        shifted = jnp.concatenate([jnp.full((k,), s, x.dtype), x[:-k]])
+        x = jnp.where(x == s, shifted, x)
+        k <<= 1
+    return x
 
 
 def expand_segments(sel_counts: jnp.ndarray, out_len: int):
