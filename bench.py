@@ -130,14 +130,20 @@ def main() -> int:
         return min(1 << (n - 1).bit_length(), cap)
     pw = bucket(int(nvp), cfg.max_render_points)
     vw = bucket(int(nvv), cfg.max_render_voxels)
+    def dbucket(n, cap):
+        n = max(2 * n + 64, 4096)
+        return min(1 << (n - 1).bit_length(), cap)
+    nw = dbucket(int(state.num_nodes), cfg.node_capacity)
+    sw = dbucket(int(state.num_segments), cfg.segment_capacity)
     t_c = time.perf_counter()
-    img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw)  # compile bucket
+    img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw, nw, sw)
     jax.block_until_ready(img)
-    log(f"render (pw={pw}, vw={vw}) compiled in {time.perf_counter()-t_c:.0f}s")
+    log(f"render (pw={pw}, vw={vw}, nw={nw}, sw={sw}) "
+        f"compiled in {time.perf_counter()-t_c:.0f}s")
     t0 = time.perf_counter()
     n_frames = 5
     for _ in range(n_frames):
-        img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw)
+        img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw, nw, sw)
     jax.block_until_ready(img)
     render_ms = (time.perf_counter() - t0) / n_frames * 1e3
 

@@ -93,10 +93,15 @@ def main():
             return min(1 << (nv - 1).bit_length(), cap)
         pw = bucket(int(nvp), cfg.max_render_points)
         vw = bucket(int(nvv), cfg.max_render_voxels)
-        img, _ = render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw)
+        def dbucket(n, cap):
+            n = max(2 * n + 64, 4096)
+            return min(1 << (n - 1).bit_length(), cap)
+        nw = dbucket(int(state.num_nodes), cfg.node_capacity)
+        sw = dbucket(int(state.num_segments), cfg.segment_capacity)
+        img, _ = render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw, nw, sw)
         jax.block_until_ready(img)
         with jax.profiler.trace(tdir):
-            img, _ = render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw)
+            img, _ = render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw, nw, sw)
             jax.block_until_ready(img)
 
     # aggregate device ops from the trace-viewer json
@@ -117,6 +122,7 @@ def main():
                 if "TPU" in n or "Device" in n or "/device" in n.lower()}
     agg = defaultdict(float)
     cnt = defaultdict(int)
+    src = {}
     total = 0.0
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
@@ -125,9 +131,12 @@ def main():
             agg[name] += dur
             cnt[name] += 1
             total += dur
+            a = e.get("args", {})
+            if name not in src and "source" in a:
+                src[name] = a["source"].replace("/root/repo/", "")
     print(f"total device op time: {total:.1f} ms across {sum(cnt.values())} events")
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:45]:
-        print(f"{ms:9.2f} ms  x{cnt[name]:<5d} {name[:120]}")
+        print(f"{ms:9.2f} ms  x{cnt[name]:<5d} {name[:40]:<42s} {src.get(name, '')}")
     return 0
 
 

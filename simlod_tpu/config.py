@@ -45,6 +45,9 @@ class EngineConfig:
     max_splits_per_round: int = 1024      # split nodes processed per split-loop round
                                           # (reference: 100k spillingNodes scratch, :843)
     seg_select_cap: int = 4096            # segments subdivided per split-loop round
+    seg_scan_window: int = 1 << 18        # directory rows scanned for spill selection
+                                          # (engine compacts segments before the live
+                                          # count outgrows this; overflow flags)
                                           # (also sizes the spill gather window's
                                           # per-segment alignment padding)
     run_window: int = 1 << 17             # per-step leaf-run window (distinct leaves
@@ -87,6 +90,9 @@ class EngineConfig:
     # emitters — the vast majority on scan-ordered data — bypass expansion entirely).
     # 0 = auto (step_points // 4). Overflow drops tail candidates transiently.
     cand_multi_rows: int = 0
+    cand_multi_window: int = 1 << 18      # multi-level candidate expansion rows per
+                                          # step (overflow is transient, see
+                                          # batch_voxel_candidates)
 
     # Voxel-store lazy-dedup compaction threshold: compact when the store holds more than
     # (1 + slack) x the entries present after the previous compaction.

@@ -33,12 +33,15 @@ from .render import camera as camera_mod
 from .render.render import FrameStats, render_frame, render_frame_impl
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 9, 10), donate_argnums=1)
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 9, 10, 11, 12),
+                   donate_argnums=1)
 def _fused_step(cfg: EngineConfig, state: OctreeState, width: int, height: int,
-                x, y, z, rgba, count, pw: int, vw: int, uniforms: Uniforms):
+                x, y, z, rgba, count, pw: int, vw: int, nw: int, sw: int,
+                uniforms: Uniforms):
     """One simultaneous build+render step (the two reference kernels fused)."""
     state = build.build_step_impl(cfg, state, x, y, z, rgba, count)
-    img, fstats = render_frame_impl(cfg, state, width, height, uniforms, pw, vw)
+    img, fstats = render_frame_impl(cfg, state, width, height, uniforms, pw, vw,
+                                    nw, sw)
     return state, img, fstats
 
 
@@ -221,8 +224,11 @@ class Engine:
         if force or used > threshold:
             self.state = build.compact_voxels_auto(self.cfg, self.state)
             self._last_compacted = int(self.state.vox_used)
-            # opportunistic directory hygiene
-            if int(self.state.num_segments) > self.cfg.segment_capacity // 2:
+            # directory hygiene: keep the live segment count inside the spill
+            # selection scan window (build.spill_calc) with headroom
+            seg_limit = min(self.cfg.seg_scan_window,
+                            self.cfg.segment_capacity) // 2
+            if int(self.state.num_segments) > seg_limit:
                 self.state = build.compact_segments(self.cfg, self.state)
 
     def filter_colors(self) -> None:
@@ -257,19 +263,30 @@ class Engine:
         pw = bucket(pv, ppw, self.cfg.max_render_points)
         vw = bucket(vv, pvw, self.cfg.max_render_voxels)
         self._last_windows = (pw, vw)
-        return pw, vw
+        # directory windows from the last-polled live watermarks (2x headroom;
+        # render flags `truncated` and the next frame upsizes if outgrown)
+        nn, ns = getattr(self, "_last_counts", (0, 0))
+        def dbucket(n, cap):
+            n = max(2 * n + 64, 4096)
+            return min(1 << (n - 1).bit_length(), cap)
+        nw = dbucket(nn, self.cfg.node_capacity)
+        sw = dbucket(ns, self.cfg.segment_capacity)
+        return pw, vw, nw, sw
 
     def _note_visible(self, fstats):
         self._last_visible = (int(fstats.num_visible_points),
                               int(fstats.num_visible_voxels))
+        self._last_counts = (int(self.state.num_nodes),
+                             int(self.state.num_segments))
 
     def render(self, width: int, height: int):
         """Render-only frame -> (image u32 [H,W], Stats)."""
         self._maybe_compact(force=int(self.state.vox_used) > self._last_compacted)
         u = self.uniforms(width, height)
-        pw, vw = self._windows()
+        pw, vw, nw, sw = self._windows()
         t0 = time.perf_counter()
-        img, fstats = render_frame(self.cfg, self.state, width, height, u, pw, vw)
+        img, fstats = render_frame(self.cfg, self.state, width, height, u, pw, vw,
+                                   nw, sw)
         img.block_until_ready()
         self.t_render.add(time.perf_counter() - t0)
         self._note_visible(fstats)
@@ -301,10 +318,10 @@ class Engine:
             self.ingest_chunk(items[:-1], sync=False)
         x, y, z, rgba, count = items[-1]
         u = self.uniforms(width, height)
-        pw, vw = self._windows()
+        pw, vw, nw, sw = self._windows()
         self.state, img, fstats = _fused_step(
             self.cfg, self.state, width, height, x, y, z, rgba,
-            jnp.asarray(count, jnp.int32), pw, vw, u)
+            jnp.asarray(count, jnp.int32), pw, vw, nw, sw, u)
         self._steps_since_poll = getattr(self, "_steps_since_poll", 0) + 1
         img.block_until_ready()
         dt = time.perf_counter() - t0

@@ -347,10 +347,17 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
     def spill_calc(small):
         (seg_node, seg_off, seg_cnt, num_segments, counter, num_points,
          node_seg_count, memflag) = small
-        s_sel = (seg_cnt > 0) & (seg_node >= 0) & \
-            just[jnp.clip(seg_node, 0, n_cap - 1)]
+        # scan only the live watermark region (pow-of-two window): the full
+        # directory capacity can be 10-50x the live segment count, and the
+        # `just[...]` element gather costs ~8 ns per scanned row (measured 17 ms
+        # per spill round at s_cap = 2M). The engine compacts the directory
+        # before num_segments can outgrow the window.
+        SGW = min(cfg.seg_scan_window, s_cap)
+        memflag = memflag | (num_segments > SGW)
+        s_sel = (seg_cnt[:SGW] > 0) & (seg_node[:SGW] >= 0) & \
+            just[jnp.clip(seg_node[:SGW], 0, n_cap - 1)]
         (sel_full,), n_sel = compact_mask_via_sort(
-            s_sel, (jnp.arange(s_cap, dtype=jnp.int32),))
+            s_sel, (jnp.arange(SGW, dtype=jnp.int32),))
         memflag = memflag | (n_sel > SS)
         sv = jnp.arange(SS, dtype=jnp.int32) < n_sel
         ssafe = jnp.where(sv, sel_full[:SS], 0)
@@ -578,7 +585,10 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     # --- multi-level emitters: a G2W-row slice starting at n_single, ragged-
     # expanded into a CC2-wide window (both far narrower than the batch) ---
     G2W = min(B, cfg.cand_multi_rows or max(B // 4, 1024))
-    CC2 = max((cfg.candidate_factor * B) // 3, 1024)
+    # multi-level emissions are a trickle on scan-ordered data; the expansion
+    # window is capped well below the batch (its src scatter + 7-wide row gather
+    # measured ~12 ms/step at a batch-sized window) — overflow is transient
+    CC2 = max(min((cfg.candidate_factor * B) // 3, cfg.cand_multi_window), 1024)
     st_ = jnp.minimum(n_single, B - G2W)  # dynamic_slice clamp, made explicit
     grow = jnp.arange(G2W, dtype=jnp.int32)
     in_multi = (st_ + grow >= n_single) & (st_ + grow < n_single + n_multi)

@@ -29,13 +29,44 @@ class FrameStats(NamedTuple):
     truncated: jax.Array
 
 
+def _trim_directories(state: OctreeState, node_window: int | None,
+                      seg_window: int | None) -> OctreeState:
+    """View of `state` with the per-node and per-segment columns sliced to pow2
+    windows around the live watermarks. Directory capacities can be 10-250x the
+    live counts, and every visibility / ragged-plan pass costs its FULL width
+    (five ~10-16 ms scatters over a 512K node capacity were 44 ms of a 180 ms
+    frame); the windows make those passes proportional to actual content. All
+    consumers key off `ids < num_nodes` masks and column shape[0], so a sliced
+    state is a drop-in. Callers guarantee window >= live count (engine buckets)."""
+    import dataclasses as _dc
+    rep = {}
+    if node_window is not None and node_window < state.child_base.shape[0]:
+        nw = node_window
+        rep.update({f: getattr(state, f)[:nw] for f in
+                    ("nx", "ny", "nz", "level", "parent", "child_base",
+                     "num_points", "num_voxels", "vox_voff", "vox_vcnt")})
+    if seg_window is not None and seg_window < state.seg_node.shape[0]:
+        sw = seg_window
+        rep.update({f: getattr(state, f)[:sw] for f in
+                    ("seg_node", "seg_off", "seg_cnt")})
+    return _dc.replace(state, **rep) if rep else state
+
+
 def render_frame_impl(cfg: EngineConfig, state: OctreeState, width: int, height: int,
                       uniforms: Uniforms, point_window: int | None = None,
-                      voxel_window: int | None = None):
+                      voxel_window: int | None = None,
+                      node_window: int | None = None,
+                      seg_window: int | None = None):
     """Render one frame. Returns (rgba u32 [H, W], FrameStats).
 
-    point/voxel_window override the sample windows (the engine sizes them to the
-    previous frame's visible counts so sparse frames don't pay full-cap passes)."""
+    point/voxel_window override the sample windows, node/seg_window the
+    directory column windows (the engine sizes them to the previous frame's
+    visible counts / the live watermarks so sparse frames don't pay
+    full-capacity passes)."""
+    over = (jnp.zeros((), jnp.bool_)
+            | (node_window is not None and state.num_nodes > node_window)
+            | (seg_window is not None and state.num_segments > seg_window))
+    state = _trim_directories(state, node_window, seg_window)
     vis = visibility.compute_visibility(state, uniforms)
 
     pts = raster.gather_point_samples(cfg, state, vis.emitted, point_window)
@@ -78,13 +109,14 @@ def render_frame_impl(cfg: EngineConfig, state: OctreeState, width: int, height:
         num_visible_leaves=vis.num_visible_leaves,
         num_visible_points=vis.num_visible_points,
         num_visible_voxels=vis.num_visible_voxels,
-        truncated=(vis.num_visible_points > pw) | (vis.num_visible_voxels > vw),
+        truncated=(vis.num_visible_points > pw) | (vis.num_visible_voxels > vw)
+        | over,
     )
     return color.reshape(height, width), stats
 
 
 render_frame = functools.partial(
-    jax.jit, static_argnums=(0, 2, 3, 5, 6))(render_frame_impl)
+    jax.jit, static_argnums=(0, 2, 3, 5, 6, 7, 8))(render_frame_impl)
 
 
 @jax.jit
