@@ -43,7 +43,11 @@ def main() -> int:
         voxel_capacity=1 << 26,
         segment_capacity=1 << 21,
         step_points=STEP_POINTS,
-        spill_capacity=STEP_POINTS,
+        # tight spill budget: the split loop spreads big cascades over more
+        # rounds, but each round's window passes cost SPW rows — utilization
+        # beats round count (see docs/PERFORMANCE.md round 2)
+        spill_capacity=1 << 19,
+        seg_select_cap=2048,
         max_render_points=4 << 20,
         max_render_voxels=4 << 20,
     )
@@ -93,6 +97,7 @@ def main() -> int:
 
     # --- file-based end-to-end: disk -> decode -> H2D -> build ---
     # (the reference's headline metric is a drag-drop load from disk, README.md:21)
+    del bx, by, bz, bc, bn  # staged batches: free ~260 MB before the engine state
     file_mps = None
     if FILE_BENCH:
         import tempfile
@@ -158,6 +163,7 @@ def main() -> int:
         "build_seconds": round(t_build, 3),
         "num_nodes": num_nodes,
         "num_voxels": int(state.vox_used),
+        "candidates_dropped": int(state.num_candidates_dropped),
         "visible_points": int(fstats.num_visible_points),
         "visible_voxels": int(fstats.num_visible_voxels),
         "platform": platform,

@@ -36,7 +36,8 @@ def main():
         voxel_capacity=1 << 26,
         segment_capacity=1 << 21,
         step_points=STEP_POINTS,
-        spill_capacity=STEP_POINTS,
+        spill_capacity=1 << 19,
+        seg_select_cap=2048,
         max_render_points=4 << 20,
         max_render_voxels=4 << 20,
     )

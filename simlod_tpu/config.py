@@ -89,10 +89,14 @@ class EngineConfig:
     # narrow ragged-expansion window in build.batch_voxel_candidates; single-level
     # emitters — the vast majority on scan-ordered data — bypass expansion entirely).
     # 0 = auto (step_points // 4). Overflow drops tail candidates transiently.
-    cand_multi_rows: int = 0
-    cand_multi_window: int = 1 << 18      # multi-level candidate expansion rows per
-                                          # step (overflow is transient, see
-                                          # batch_voxel_candidates)
+    cand_multi_rows: int = 1 << 18        # class-sorted rows sliced for multi-level
+                                          # emitters (0 = batch/4; overflow transient)
+    cand_multi_window: int = 1 << 20      # multi-level candidate expansion rows per
+                                          # step. Sized to cover steady-state cell
+                                          # opening (~0.5 M/step on the 16M bench);
+                                          # a too-small window drops candidates that
+                                          # only "reappear" if later batches revisit
+                                          # the cell — watch num_candidates_dropped
 
     # Voxel-store lazy-dedup compaction threshold: compact when the store holds more than
     # (1 + slack) x the entries present after the previous compaction.

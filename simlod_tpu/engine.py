@@ -45,6 +45,19 @@ def _fused_step(cfg: EngineConfig, state: OctreeState, width: int, height: int,
     return state, img, fstats
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 9, 10, 11, 12),
+                   donate_argnums=1)
+def _fused_chunk(cfg: EngineConfig, state: OctreeState, width: int, height: int,
+                 bx, by, bz, brgba, counts, pw: int, vw: int, nw: int, sw: int,
+                 uniforms: Uniforms):
+    """Scan a K-step chunk then render once (reference consumes <=20 ring
+    batches per frame before renderCUDA, progressive_octree_voxels.cu:883)."""
+    state = build.build_many_impl(cfg, state, bx, by, bz, brgba, counts)
+    img, fstats = render_frame_impl(cfg, state, width, height, uniforms, pw, vw,
+                                    nw, sw)
+    return state, img, fstats
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def _collect_stats(cfg: EngineConfig, state: OctreeState, fstats: FrameStats | None):
     n_cap = state.child_base.shape[0]
@@ -137,7 +150,8 @@ class Engine:
 
     def open(self, paths):
         """Scan files, reset the octree to their union box, start streaming."""
-        self.stream = PointStream(paths, self.cfg.step_points, device=self.device)
+        self.stream = PointStream(paths, self.cfg.step_points, device=self.device,
+                                  chunk_steps=self.cfg.steps_per_dispatch)
         box = self.stream.box_max - self.stream.box_min
         self.reset(np.zeros(3, np.float32), box.astype(np.float32))
         self._stream_iter = iter(self.stream)
@@ -159,51 +173,46 @@ class Engine:
             jax.block_until_ready(self.state.num_nodes)
             self.t_build.add(time.perf_counter() - t0)
 
-    def ingest_chunk(self, items, sync: bool = True) -> None:
-        """Ingest a list of step batches with ONE build_many dispatch (lax.scan).
+    def ingest_chunk(self, item, sync: bool = True) -> None:
+        """Ingest one pre-stacked K-step chunk with ONE build_many dispatch.
 
         The reference keeps its device saturated by launching kernel_construct
         against a pre-uploaded ring every frame (main_progressive_octree.cpp:364-399);
-        here K steps ride one XLA program, so there are no host round-trips or
-        dispatch gaps between them."""
-        if not items:
-            return
-        if len(items) == 1:
-            x, y, z, rgba, count = items[0]
-            return self.ingest(x, y, z, rgba, count, sync=sync)
+        here K steps ride one XLA program (lax.scan over host-stacked [K, B]
+        planes, see PointStream chunk_steps), so there are no host round-trips,
+        uploads, or on-device restacking between them."""
         t0 = time.perf_counter()
-        bx = jnp.stack([it[0] for it in items])
-        by = jnp.stack([it[1] for it in items])
-        bz = jnp.stack([it[2] for it in items])
-        bc = jnp.stack([it[3] for it in items])
-        bn = jnp.asarray([int(it[4]) for it in items], jnp.int32)
-        self.state = build.build_many(self.cfg, self.state, bx, by, bz, bc, bn)
-        self._steps_since_poll = getattr(self, "_steps_since_poll", 0) + len(items)
+        bx, by, bz, bc, counts = item
+        k = bx.shape[0]
+        self.state = build.build_many(self.cfg, self.state, bx, by, bz, bc,
+                                      jnp.asarray(counts, jnp.int32))
+        self._steps_since_poll = getattr(self, "_steps_since_poll", 0) + k
         if sync:
             self._maybe_compact()
             jax.block_until_ready(self.state.num_nodes)
             self.t_build.add(time.perf_counter() - t0)
 
     def ingest_next(self, max_steps: int | None = None) -> bool:
-        """Pull up to steps_per_dispatch streamed batches and ingest them in one
-        dispatch; returns False when the stream is done."""
+        """Ingest the next streamed chunk; returns False when the stream is done.
+
+        The capacity flag is polled on the compaction cadence, not per dispatch
+        (a per-dispatch bool() readback would sync the pipeline every chunk)."""
         if self.stream is None:
             return False
-        if bool(self.state.mem_capacity_reached):
+        if getattr(self, "_steps_since_poll", 0) >= 4 \
+                and bool(self.state.mem_capacity_reached):
             # reference treats capacity-reached as end of load (:1216-1219)
             self.last_batch_finished = True
             return False
-        want = max_steps or self.cfg.steps_per_dispatch
-        items = []
-        for _ in range(want):
-            item = next(self._stream_iter, None)
-            if item is None:
-                self.last_batch_finished = True
-                break
-            items.append(item)
-        if not items:
+        item = next(self._stream_iter, None)
+        if item is None:
+            self.last_batch_finished = True
             return False
-        self.ingest_chunk(items)
+        if isinstance(item[4], (int, np.integer)):   # chunk_steps == 1 stream
+            x, y, z, rgba, count = item
+            self.ingest(x, y, z, rgba, count)
+            return True
+        self.ingest_chunk(item)
         return True
 
     def load_all(self) -> None:
@@ -314,15 +323,24 @@ class Engine:
         if not items:
             return self.render(width, height)
         t0 = time.perf_counter()
-        if len(items) > 1:
-            self.ingest_chunk(items[:-1], sync=False)
-        x, y, z, rgba, count = items[-1]
+        for it in items[:-1]:
+            self.ingest_chunk(it, sync=False)
         u = self.uniforms(width, height)
         pw, vw, nw, sw = self._windows()
-        self.state, img, fstats = _fused_step(
-            self.cfg, self.state, width, height, x, y, z, rgba,
-            jnp.asarray(count, jnp.int32), pw, vw, nw, sw, u)
-        self._steps_since_poll = getattr(self, "_steps_since_poll", 0) + 1
+        last = items[-1]
+        if isinstance(last[4], (int, np.integer)):   # chunk_steps == 1 stream
+            x, y, z, rgba, count = last
+            self.state, img, fstats = _fused_step(
+                self.cfg, self.state, width, height, x, y, z, rgba,
+                jnp.asarray(count, jnp.int32), pw, vw, nw, sw, u)
+            self._steps_since_poll = getattr(self, "_steps_since_poll", 0) + 1
+        else:
+            bx, by, bz, bc, counts = last
+            self.state, img, fstats = _fused_chunk(
+                self.cfg, self.state, width, height, bx, by, bz, bc,
+                jnp.asarray(counts, jnp.int32), pw, vw, nw, sw, u)
+            self._steps_since_poll = getattr(self, "_steps_since_poll", 0) \
+                + bx.shape[0]
         img.block_until_ready()
         dt = time.perf_counter() - t0
         self.t_fused.add(dt)

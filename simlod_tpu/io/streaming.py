@@ -87,13 +87,14 @@ class PointStream:
 
     def __init__(self, paths, step_points: int, device=None,
                  num_loaders: int | None = None, ring_slots: int = 8,
-                 batch_points: int = BATCH_POINTS):
+                 batch_points: int = BATCH_POINTS, chunk_steps: int = 1):
         self.entries = scan_paths(paths)
         if not self.entries:
             raise FileNotFoundError(f"no point cloud files under {paths!r}")
         self.step_points = step_points
         self.device = device
         self.batch_points = batch_points
+        self.chunk_steps = max(1, chunk_steps)
         self.box_min = np.min([e.box_min for e in self.entries], axis=0)
         self.box_max = np.max([e.box_max for e in self.entries], axis=0)
         self.total_points = sum(e.num_points for e in self.entries)
@@ -182,21 +183,39 @@ class PointStream:
         import jax
 
         B = self.step_points
-        # separate coordinate columns: a [B,3] device array lane-pads 32x on TPU
-        acc = [np.zeros((B,), np.float32) for _ in range(3)]
-        acc_rgba = np.zeros((B,), np.uint32)
-        fill = 0
+        K = self.chunk_steps
+        # separate coordinate columns: a [B,3] device array lane-pads 32x on TPU.
+        # With chunk_steps > 1, K step batches are stacked HOST-side into [K,B]
+        # planes and shipped with ONE device_put per column — the engine then
+        # feeds them to build_many verbatim (per-step device_put + on-device
+        # restacking cost ~0.5 s of tiny-op dispatches per chunk over a
+        # tunneled attachment).
+        acc = [np.zeros((K, B), np.float32) for _ in range(3)]
+        acc_rgba = np.zeros((K, B), np.uint32)
+        counts = np.zeros((K,), np.int32)
+        step = 0          # filled steps in the chunk
+        fill = 0          # filled rows in the current step
 
         def flush():
-            nonlocal acc, acc_rgba, fill
-            if fill == 0:
+            nonlocal acc, acc_rgba, counts, step, fill
+            if fill > 0:          # close the partial step
+                counts[step] = fill
+                step, fill = step + 1, 0
+            if step == 0:
                 return
-            cols = [jax.device_put(a, self.device) for a in acc]
-            cd = jax.device_put(acc_rgba, self.device)
-            self._put(self._ready, (cols[0], cols[1], cols[2], cd, fill))
-            acc = [np.zeros((B,), np.float32) for _ in range(3)]
-            acc_rgba = np.zeros((B,), np.uint32)
-            fill = 0
+            if K == 1:
+                cols = [jax.device_put(a[0], self.device) for a in acc]
+                cd = jax.device_put(acc_rgba[0], self.device)
+                item = (cols[0], cols[1], cols[2], cd, int(counts[0]))
+            else:
+                cols = [jax.device_put(a, self.device) for a in acc]
+                cd = jax.device_put(acc_rgba, self.device)
+                item = (cols[0], cols[1], cols[2], cd, counts.copy())
+            self._put(self._ready, item)
+            acc = [np.zeros((K, B), np.float32) for _ in range(3)]
+            acc_rgba = np.zeros((K, B), np.uint32)
+            counts = np.zeros((K,), np.int32)
+            step = 0
 
         while not self._stop.is_set():
             try:
@@ -210,12 +229,15 @@ class PointStream:
             while off < len(xyz):
                 take = min(B - fill, len(xyz) - off)
                 for a in range(3):
-                    acc[a][fill:fill + take] = xyz[off:off + take, a]
-                acc_rgba[fill:fill + take] = rgba[off:off + take]
+                    acc[a][step, fill:fill + take] = xyz[off:off + take, a]
+                acc_rgba[step, fill:fill + take] = rgba[off:off + take]
                 fill += take
                 off += take
                 if fill == B:
-                    flush()
+                    counts[step] = B
+                    step, fill = step + 1, 0
+                    if step == K:
+                        flush()
         if not self._stop.is_set():
             flush()
         self._put(self._ready, None)
