@@ -111,6 +111,7 @@ def main() -> int:
         eng = Engine(cfg)
         eng.open([path])
         eng.load_all()  # warm pass (compiles the chunked programs)
+        eng.stream.stop()  # join the warm pipeline before timing
         t0 = time.perf_counter()
         eng.open([path])
         eng.load_all()
