@@ -95,32 +95,8 @@ def main() -> int:
     mps = N_POINTS / t_build / 1e6
     log(f"build(pipelined): {t_build:.2f}s = {mps:.1f} MP/s, nodes={num_nodes}")
 
-    # --- file-based end-to-end: disk -> decode -> H2D -> build ---
-    # (the reference's headline metric is a drag-drop load from disk, README.md:21)
-    del bx, by, bz, bc, bn  # staged batches: free ~260 MB before the engine state
+    del bx, by, bz, bc, bn  # staged batches: free ~260 MB before the render/file phases
     file_mps = None
-    if FILE_BENCH:
-        import tempfile
-        from simlod_tpu.engine import Engine
-        from simlod_tpu.formats import simlod as simlod_fmt
-        path = os.path.join(tempfile.gettempdir(), f"bench_{N_POINTS}.simlod")
-        if not os.path.exists(path):
-            t_c = time.perf_counter()
-            simlod_fmt.write(path, xyz, rgba)
-            log(f"wrote {path} in {time.perf_counter()-t_c:.0f}s")
-        eng = Engine(cfg)
-        eng.open([path])
-        eng.load_all()  # warm pass (compiles the chunked programs)
-        eng.stream.stop()  # join the warm pipeline before timing
-        t0 = time.perf_counter()
-        eng.open([path])
-        eng.load_all()
-        _ = int(eng.state.num_nodes)
-        t_file = time.perf_counter() - t0
-        eng.stream.stop()
-        file_mps = N_POINTS / t_file / 1e6
-        log(f"file e2e: {t_file:.2f}s = {file_mps:.1f} MP/s")
-        del eng
 
     # --- timed 1080p render ---
     c = cam.Camera(width=WIDTH, height=HEIGHT)
@@ -153,6 +129,42 @@ def main() -> int:
     jax.block_until_ready(img)
     render_ms = (time.perf_counter() - t0) / n_frames * 1e3
 
+    num_voxels = int(state.vox_used)
+    cand_dropped = int(state.num_candidates_dropped)
+    vis_pts = int(fstats.num_visible_points)
+    vis_vox = int(fstats.num_visible_voxels)
+    del state, img  # free the device-path state before the engine allocates its own
+
+    # --- file-based end-to-end: disk -> decode -> H2D -> build ---
+    # (the reference's headline metric is a drag-drop load from disk, README.md:21)
+    if FILE_BENCH:
+        import tempfile
+        from simlod_tpu.engine import Engine
+        from simlod_tpu.formats import simlod as simlod_fmt
+        path = os.path.join(tempfile.gettempdir(), f"bench_{N_POINTS}.simlod")
+        if not os.path.exists(path):
+            t_c = time.perf_counter()
+            simlod_fmt.write(path, xyz, rgba)
+            log(f"wrote {path} in {time.perf_counter()-t_c:.0f}s")
+        eng = Engine(cfg)
+        t_c = time.perf_counter()
+        eng.open([path])
+        eng.load_all()  # warm pass (compiles the chunked programs)
+        log(f"file warm load in {time.perf_counter()-t_c:.0f}s")
+        eng.stream.stop()  # join the warm pipeline before timing
+        t0 = time.perf_counter()
+        eng.open([path])
+        eng.load_all()
+        _ = int(eng.state.num_nodes)
+        t_file = time.perf_counter() - t0
+        eng.stream.stop()
+        file_mps = N_POINTS / t_file / 1e6
+        tb = eng.t_build
+        log(f"file e2e: {t_file:.2f}s = {file_mps:.1f} MP/s "
+            f"(dispatches {tb.count}, avg {tb.total/max(tb.count,1)*1e3:.0f} ms, "
+            f"stream {eng.stream.stats()['mps']:.1f} MP/s)")
+        del eng
+
     result = {
         "metric": "LOD octree ingest throughput (synthetic lidar terrain)",
         "value": round(mps, 2),
@@ -163,10 +175,10 @@ def main() -> int:
         "points": N_POINTS,
         "build_seconds": round(t_build, 3),
         "num_nodes": num_nodes,
-        "num_voxels": int(state.vox_used),
-        "candidates_dropped": int(state.num_candidates_dropped),
-        "visible_points": int(fstats.num_visible_points),
-        "visible_voxels": int(fstats.num_visible_voxels),
+        "num_voxels": num_voxels,
+        "candidates_dropped": cand_dropped,
+        "visible_points": vis_pts,
+        "visible_voxels": vis_vox,
         "platform": platform,
     }
     print(json.dumps(result))

@@ -74,6 +74,10 @@ class Work(NamedTuple):
     lvl: jax.Array      # [BW] i32 leaf level
     count: jax.Array    # i32 scalar: number of VALID rows
     valid: jax.Array    # [BW] bool: real routed points (junk/fill rows False)
+    k0: jax.Array       # [BW] i32 route sort key words (Morton w0, w1<<1|flag);
+    k1: jax.Array       # the stream stays sorted by them — split rounds binary-
+                        # search child interval starts instead of re-deriving the
+                        # run structure from the full batch
 
 
 class Runs(NamedTuple):
@@ -165,7 +169,8 @@ def route(cfg: EngineConfig, state: OctreeState, x: jax.Array, y: jax.Array,
     cpk = jnp.maximum(carried, 0)
     cqx, cqy, cqz = morton.quantize_cols(sx, sy, sz, state.box_min, state.cube_size)
     return state, Work(x=sx, y=sy, z=sz, rgba=sc, qx=cqx, qy=cqy, qz=cqz,
-                       leaf=cpk >> 5, lvl=cpk & 31, count=count, valid=is_pt)
+                       leaf=cpk >> 5, lvl=cpk & 31, count=count, valid=is_pt,
+                       k0=sk0, k1=sk1)
 
 
 def compute_runs(cfg: EngineConfig, work: Work) -> Runs:
@@ -227,6 +232,25 @@ def _append_voxels_prefix(cfg: EngineConfig, state: OctreeState, k0, k1, k2l, sr
     state.vox_used = state.vox_used + n_new
     state.mem_capacity_reached = state.mem_capacity_reached | (n_emit > room)
     return state
+
+
+def _lower_bound2(k0arr, k1arr, q0, q1, lo, hi):
+    """Vectorized 2-word lower bound: first i in [lo, hi) with
+    (k0arr[i], k1arr[i]) >= (q0, q1); returns hi when none."""
+    iters = max(1, int(k0arr.shape[0]).bit_length())
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = jnp.clip((lo + hi) // 2, 0, k0arr.shape[0] - 1)
+        a0 = gather1d(k0arr, mid)
+        a1 = gather1d(k1arr, mid)
+        less = (a0 < q0) | ((a0 == q0) & (a1 < q1))
+        take = lo < hi
+        return (jnp.where(take & less, mid + 1, lo),
+                jnp.where(take & ~less, mid, hi))
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
 
 
 def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
@@ -486,7 +510,38 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
         work.leaf)
     new_lvl = work.lvl + aff.astype(jnp.int32)
     work = work._replace(leaf=new_leaf, lvl=new_lvl)
-    return state, work, n_take
+
+    # --- run surgery: swap each taken run for its <=8 child sub-runs ---
+    # Child interval starts are 2-word lower bounds of the child boundary keys
+    # in the (still sorted) route key stream, restricted to the parent run's
+    # interval — the run structure never needs re-deriving from the full batch
+    # (the old per-round compute_runs was a B-wide compare + compact sort,
+    # ~15 ms/step at 2M on v5e). Child 0 shares the parent's interval-start key
+    # with the junk boundary rows there, so its start is the parent's directly.
+    def surgery(runs):
+        pos = _lower_bound2(work.k0, work.k1, bw0, bw1 << 1,
+                            rep(tstart), rep(tend)).reshape(K, 8)
+        starts = pos.at[:, 0].set(tstart)
+        ends = jnp.concatenate([starts[:, 1:], tend[:, None]], axis=1)
+        kcnt = jnp.maximum(ends - starts, 0)
+        kleaf = base[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :]
+        kid_ok = tv[:, None] & (kcnt > 0)
+        n_kids = jnp.sum(kid_ok.astype(jnp.int32))
+
+        keep = rvalid & ~take
+        rows = jnp.concatenate([jnp.where(keep, runs.r_row, B),
+                                jnp.where(kid_ok, starts, B).reshape(-1)])
+        leafs = jnp.concatenate([runs.r_leaf, kleaf.reshape(-1)])
+        cnts = jnp.concatenate([jnp.where(keep, runs.r_cnt, 0),
+                                jnp.where(kid_ok, kcnt, 0).reshape(-1)])
+        srow_, sleaf_, scnt_ = jax.lax.sort((rows, leafs, cnts), num_keys=1,
+                                            is_stable=False)
+        n_new = runs.n_runs - n_take + n_kids
+        return Runs(r_leaf=sleaf_[:RW], r_cnt=scnt_[:RW], r_row=srow_[:RW],
+                    n_runs=n_new)
+
+    runs = jax.lax.cond(n_take > 0, surgery, lambda r: r, runs)
+    return state, work, runs, n_take
 
 
 def split_loop(cfg: EngineConfig, state: OctreeState, work: Work):
@@ -502,10 +557,7 @@ def split_loop(cfg: EngineConfig, state: OctreeState, work: Work):
 
     def body(carry):
         state, work, runs, _n, rounds = carry
-        state, work, n_take = _split_round(cfg, state, work, runs)
-        runs = jax.lax.cond(n_take > 0,
-                            lambda w: compute_runs(cfg, w),
-                            lambda w: runs, work)
+        state, work, runs, n_take = _split_round(cfg, state, work, runs)
         return state, work, runs, n_take, rounds + 1
 
     # derive loop scalars from work.count so their sharding/varying type matches the
@@ -598,25 +650,53 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     ecnt = jnp.where(in_multi, ds(scnt), 0)
     offs2 = exclusive_cumsum(ecnt)
     total2 = jnp.sum(ecnt)
-    src_mark = jnp.full((CC2,), -1, jnp.int32).at[
-        jnp.where(ecnt > 0, jnp.minimum(offs2, CC2), CC2)].max(grow, mode="drop")
-    src = jnp.maximum(jax.lax.cummax(src_mark), 0)
-    j = jnp.arange(CC2, dtype=jnp.int32)
-    n_emit2 = jnp.minimum(total2, CC2)
     table = jnp.stack([mw0, mw1, mw2, mleaf, mrgba, mlo, offs2], axis=-1)
-    srow = table[src]
-    lvl2 = srow[:, 5] + (j - srow[:, 6])      # lo + offset within the range
-    ek0, ek1, ek2l = morton.key_words_at_level(srow[:, 0], srow[:, 1], srow[:, 2],
-                                               lvl2)
-    state = _append_voxels_prefix(
-        cfg, state, ek0, ek1, ek2l, srow[:, 3],
-        jax.lax.bitcast_convert_type(srow[:, 4], jnp.uint32), n_emit2)
 
-    # overflow (multi rows past G2W, or expansion past CC2) is TRANSIENT:
+    def expand(W: int, base):
+        """Expand emission cells [base, base + W) of the flat multi-level cell
+        stream into per-cell rows ((key words), leaf, rgba, n)."""
+        src_mark = jnp.full((W,), -1, jnp.int32).at[
+            jnp.where((ecnt > 0) & (offs2 + ecnt > base),
+                      jnp.clip(offs2 - base, 0, W), W)].max(grow, mode="drop")
+        src = jnp.maximum(jax.lax.cummax(src_mark), 0)
+        j = jnp.arange(W, dtype=jnp.int32) + base
+        srow = table[src]
+        lvl2 = srow[:, 5] + (j - srow[:, 6])  # lo + offset within the range
+        ek0, ek1, ek2l = morton.key_words_at_level(
+            srow[:, 0], srow[:, 1], srow[:, 2], lvl2)
+        n = jnp.clip(total2 - base, 0, W)
+        return ek0, ek1, ek2l, srow[:, 3], srow[:, 4], n
+
+    # two-tier expansion: the small window covers the steady-state trickle;
+    # heavy steps (fresh regions opening cells at many levels) pay the big
+    # window under a cond — its src scatter + 7-wide row gather measured
+    # ~12 ms/step at a 1M window, too much to pay unconditionally
+    CCS = max(CC2 // 4, 1024)
+    ek0, ek1, ek2l, eleaf, ergba, n_emit2 = expand(CCS, jnp.int32(0))
+    state = _append_voxels_prefix(
+        cfg, state, ek0, ek1, ek2l, eleaf,
+        jax.lax.bitcast_convert_type(ergba, jnp.uint32), n_emit2)
+
+    def heavy(_):
+        return expand(CC2, jnp.int32(CCS))
+
+    def light(_):
+        # derive zeros from a batch value so the varying-axes type matches the
+        # heavy branch under shard_map (vma typing, cf. no_spill)
+        z = jnp.zeros((CC2,), jnp.int32) + (total2 & 0)
+        return z, z, z, z, z, jnp.zeros_like(total2)
+
+    bk0, bk1, bk2l, bleaf, brgba, n_emit2b = jax.lax.cond(
+        total2 > CCS, heavy, light, 0)
+    state = _append_voxels_prefix(
+        cfg, state, bk0, bk1, bk2l, bleaf,
+        jax.lax.bitcast_convert_type(brgba, jnp.uint32), n_emit2b)
+
+    # overflow (multi rows past G2W, or expansion past CCS + CC2) is TRANSIENT:
     # dropped candidates reappear with later batches in the same cells
     # (lazy first-come dedup tolerates omission, unlike pool exhaustion)
     state.num_candidates_dropped = state.num_candidates_dropped + \
-        jnp.maximum(total - n_single - n_emit2, 0)
+        jnp.maximum(total - n_single - n_emit2 - n_emit2b, 0)
     return state
 
 
