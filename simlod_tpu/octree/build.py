@@ -637,10 +637,12 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     # --- multi-level emitters: a G2W-row slice starting at n_single, ragged-
     # expanded into a CC2-wide window (both far narrower than the batch) ---
     G2W = min(B, cfg.cand_multi_rows or max(B // 4, 1024))
-    # multi-level emissions are a trickle on scan-ordered data; the expansion
-    # window is capped well below the batch (its src scatter + 7-wide row gather
-    # measured ~12 ms/step at a batch-sized window) — overflow is transient
-    CC2 = max(min((cfg.candidate_factor * B) // 3, cfg.cand_multi_window), 1024)
+    # full expansion budget (worst case ~ candidate_factor x batch / 3) and the
+    # steady-state window: cell opening runs ~0.5 M cells per 2M step on the
+    # 16M bench, so the small tier must cover that — the big tier's src scatter
+    # + 7-wide row gather (~25 ms at 2M) is paid only on early/fresh-region
+    # steps where the opening rate spikes past it
+    CC2 = max((cfg.candidate_factor * B) // 3, 1024)
     st_ = jnp.minimum(n_single, B - G2W)  # dynamic_slice clamp, made explicit
     grow = jnp.arange(G2W, dtype=jnp.int32)
     in_multi = (st_ + grow >= n_single) & (st_ + grow < n_single + n_multi)
@@ -667,11 +669,10 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
         n = jnp.clip(total2 - base, 0, W)
         return ek0, ek1, ek2l, srow[:, 3], srow[:, 4], n
 
-    # two-tier expansion: the small window covers the steady-state trickle;
-    # heavy steps (fresh regions opening cells at many levels) pay the big
-    # window under a cond — its src scatter + 7-wide row gather measured
-    # ~12 ms/step at a 1M window, too much to pay unconditionally
-    CCS = max(CC2 // 4, 1024)
+    # two-tier expansion: the small window covers the steady-state opening
+    # rate; the big (full-budget) window rides a cond that only fires when a
+    # step opens more cells than that
+    CCS = max(min(CC2, cfg.cand_multi_window), 1024)
     ek0, ek1, ek2l, eleaf, ergba, n_emit2 = expand(CCS, jnp.int32(0))
     state = _append_voxels_prefix(
         cfg, state, ek0, ek1, ek2l, eleaf,
