@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-N_POINTS = int(os.environ.get("BENCH_POINTS", 16_000_000))
+N_POINTS = int(os.environ.get("BENCH_POINTS", 64_000_000))
 STEP_POINTS = int(os.environ.get("BENCH_STEP", 2 << 20))
 FILE_BENCH = int(os.environ.get("BENCH_FILE", 1))  # disk->decode->H2D->build e2e
 WIDTH, HEIGHT = 1920, 1080
