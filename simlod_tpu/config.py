@@ -98,9 +98,11 @@ class EngineConfig:
                                           # only "reappear" if later batches revisit
                                           # the cell — watch num_candidates_dropped
 
-    # Voxel-store lazy-dedup compaction threshold: compact when the store holds more than
-    # (1 + slack) x the entries present after the previous compaction.
-    voxel_compact_slack: float = 0.5
+    # Voxel-store lazy-dedup compaction trigger: compact when the store holds more
+    # than this fraction of voxel_capacity (near-capacity-only policy; renders
+    # that need an exact CSR force-compact regardless). The remaining headroom
+    # must absorb the raw appends between two engine capacity polls.
+    voxel_compact_watermark: float = 0.6
 
     @property
     def working_capacity(self) -> int:

@@ -130,6 +130,7 @@ class Engine:
         self._transform_update_bound = None
         self._last_compacted = 0
         self.last_batch_finished = False
+        self._capacity_flag = False
         self.t_build = Timings()
         self.t_render = Timings()
         self.t_fused = Timings()
@@ -141,6 +142,7 @@ class Engine:
             self.state = jax.device_put(self.state, self.device)
         self._last_compacted = 0
         self.last_batch_finished = False
+        self._capacity_flag = False
         self.t_build = Timings()
         self.t_render = Timings()
         self.t_fused = Timings()
@@ -199,9 +201,11 @@ class Engine:
         (a per-dispatch bool() readback would sync the pipeline every chunk)."""
         if self.stream is None:
             return False
-        if getattr(self, "_steps_since_poll", 0) >= 4 \
-                and bool(self.state.mem_capacity_reached):
-            # reference treats capacity-reached as end of load (:1216-1219)
+        if self._capacity_flag:
+            # reference treats capacity-reached as end of load (:1216-1219);
+            # the flag is cached by _maybe_compact on its polling cadence
+            # (ADVICE r2: checking the live counter here never fired because
+            # _maybe_compact resets it)
             self.last_batch_finished = True
             return False
         item = next(self._stream_iter, None)
@@ -215,21 +219,58 @@ class Engine:
         self.ingest_chunk(item)
         return True
 
-    def load_all(self) -> None:
-        """Consume the entire stream (the reference's drag-drop load)."""
-        while self.ingest_next():
-            pass
+    def load_all(self, poll_every: int = 4) -> None:
+        """Consume the entire stream (the reference's drag-drop load).
 
-    def _maybe_compact(self, force: bool = False):
-        # poll the device watermark only every few steps (each poll syncs the stream;
-        # ingest/ingest_chunk advance the counter)
-        if not force and getattr(self, "_steps_since_poll", 0) < 4:
+        Chunks are dispatched ASYNCHRONOUSLY: donation chains the device state
+        so successive build_many dispatches queue back-to-back, and the host
+        returns to the stream immediately — decode/stack/device_put of chunk
+        k+1 overlap the device building chunk k (the reference gets the same
+        overlap from its uploader thread + per-frame kernel relaunch,
+        main_progressive_octree.cpp:963-1063). The host only synchronizes every
+        `poll_every` chunks for the capacity poll (each poll drains the device
+        queue; the stream keeps decoding in its own threads meanwhile)."""
+        if self.stream is None:
+            return
+        t0 = time.perf_counter()
+        chunks = 0
+        for item in self._stream_iter:
+            if isinstance(item[4], (int, np.integer)):
+                x, y, z, rgba, count = item
+                self.ingest(x, y, z, rgba, count, sync=False)
+            else:
+                self.ingest_chunk(item, sync=False)
+            chunks += 1
+            if chunks % poll_every == 0:
+                self._maybe_compact(poll=True)
+                if self._capacity_flag:
+                    break
+        self.last_batch_finished = True
+        jax.block_until_ready(self.state.num_nodes)
+        self._steps_since_poll = 0
+        self._capacity_flag = bool(self.state.mem_capacity_reached)
+        self.t_build.add(time.perf_counter() - t0)
+
+    _capacity_flag: bool = False
+
+    def _maybe_compact(self, force: bool = False, poll: bool = False):
+        """Capacity poll + NEAR-CAPACITY voxel compaction.
+
+        Compaction exists to dedup the lazy voxel store (first-arrival wins);
+        deferring it until the store approaches capacity (a) removes the
+        per-few-chunks drain from the load pipeline and (b) pins the windowed
+        compaction program to essentially ONE bucket (the near-capacity one),
+        where the old grow-by-slack policy compiled a fresh multi-minute
+        program per pow2 watermark on the tunneled device. Renders that need
+        an exact CSR force-compact explicitly (see render())."""
+        if not (force or poll) and getattr(self, "_steps_since_poll", 0) < 4:
             return
         self._steps_since_poll = 0
+        # capacity poll piggybacks on the sync this readback causes (ADVICE r2):
+        # ingest_next/load_all consult the cached flag so the load actually stops
+        self._capacity_flag = bool(self.state.mem_capacity_reached)
         used = int(self.state.vox_used)
-        threshold = max(int(self._last_compacted
-                            * (1.0 + self.cfg.voxel_compact_slack)),
-                        self.cfg.step_points)
+        threshold = int(self.cfg.voxel_capacity * self.cfg.voxel_compact_watermark)
         if force or used > threshold:
             self.state = build.compact_voxels_auto(self.cfg, self.state)
             self._last_compacted = int(self.state.vox_used)
@@ -290,7 +331,10 @@ class Engine:
 
     def render(self, width: int, height: int):
         """Render-only frame -> (image u32 [H,W], Stats)."""
-        self._maybe_compact(force=int(self.state.vox_used) > self._last_compacted)
+        # an exact CSR needs every tail append folded in (vox_voff/vcnt are only
+        # correct for rows [0, vox_compacted))
+        self._maybe_compact(
+            force=int(self.state.vox_used) > int(self.state.vox_compacted))
         u = self.uniforms(width, height)
         pw, vw, nw, sw = self._windows()
         t0 = time.perf_counter()

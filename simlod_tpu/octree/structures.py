@@ -180,10 +180,13 @@ def _cand_capacity(cfg: EngineConfig) -> int:
     (vox_used itself never exceeds cfg.voxel_capacity)."""
     from ..ops import ragged
     spill_window = ragged.window_for(cfg.spill_capacity, cfg.seg_select_cap)
-    # append windows: single-level candidates (step_points wide), multi-level
-    # expansion (CC2 in build.batch_voxel_candidates), split-spill candidates
-    cc2 = max((cfg.candidate_factor * cfg.step_points) // 3, 1024)
-    return max(cfg.step_points, cc2, spill_window) + 256
+    # append windows: single-level candidates and the runtime CC2 expansion are
+    # full Work-width (batch + interleaved boundary junk, build.Work), NOT
+    # step_points wide — undersizing here lets near-capacity appends clamp the
+    # dynamic_update_slice start and overwrite committed store rows (ADVICE r2)
+    work_width = cfg.step_points + min(cfg.boundary_window, cfg.node_capacity)
+    cc2 = max((cfg.candidate_factor * work_width) // 3, 1024)
+    return max(work_width, cc2, spill_window) + 256
 
 
 def node_min_size(state: OctreeState, ids=None):

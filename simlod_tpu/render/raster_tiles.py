@@ -188,6 +188,13 @@ def rasterize_tiles(cfg: EngineConfig, uniforms: Uniforms, width: int, height: i
     chunk = chunk or CHUNK
     npx = width * height
     n_tiles = (npx + tile - 1) // tile
+    # pad rows encode tile id 65535 (two 255 bytes) and trow splits into two
+    # bytes, so real tile ids must stay below that (ADVICE r2). 65534 tiles at
+    # TILE=512 is a ~33M-pixel framebuffer — far past any supported target.
+    if n_tiles >= 65535:
+        raise ValueError(
+            f"framebuffer {width}x{height} needs {n_tiles} tiles; the tile-id "
+            f"byte encoding supports at most 65534 (raise TILE)")
     npad = n_tiles * tile
 
     pixs, dbits, colors = [], [], []

@@ -93,3 +93,35 @@ def test_render_after_build(cloud_file):
     assert (img != C.BACKGROUND_COLOR).any()
     assert int(stats.num_visible_nodes) > 0
     assert int(stats.num_points) == 60_000
+
+
+def test_load_all_async_matches_sync(cloud_file):
+    # load_all dispatches chunks asynchronously (donation-chained); the tree
+    # must be identical to the one built with per-chunk syncs
+    eng_a = Engine(CFG, Settings())
+    eng_a.open([cloud_file])
+    eng_a.load_all()
+    eng_s = Engine(CFG, Settings())
+    eng_s.open([cloud_file])
+    while eng_s.ingest_next():
+        pass
+    ra, rs = eng_a.report(), eng_s.report()
+    for k in ("num_nodes", "num_points", "num_points_processed"):
+        assert ra[k] == rs[k], k
+
+
+def test_load_all_halts_on_capacity(tmp_path, rng):
+    # ADVICE r2: the cached capacity flag must actually stop load_all (the
+    # reference treats memCapacityReached as end of load, :1216-1219)
+    cfg = EngineConfig(**{**CFG.__dict__, "point_capacity": 1 << 12})
+    xyz, rgba = synthetic.terrain(120_000, seed=3, extent=50.0)
+    p = str(tmp_path / "over.simlod")
+    simlod.write(p, xyz, rgba)
+    eng = Engine(cfg, Settings())
+    eng.open([p])
+    eng.load_all(poll_every=1)
+    assert eng._capacity_flag
+    assert eng.last_batch_finished
+    rep = eng.report()
+    assert rep["mem_capacity_reached"]
+    assert rep["num_points"] <= 1 << 12
