@@ -42,8 +42,12 @@ class EngineConfig:
                                           # per 10ms frame", progressive_octree_voxels.cu:883)
     spill_capacity: int = 4 << 20         # spilled-point working buffer per step
                                           # (reference: 10M scratch, voxels.cu:846)
-    max_splits_per_round: int = 1024      # split nodes processed per split-loop round
+    max_splits_per_round: int = 1024      # round-1 split selection budget per step,
+                                          # and the total cascade budget
                                           # (reference: 100k spillingNodes scratch, :843)
+    cascade_splits_per_round: int = 256   # frontier nodes split per cascade round
+                                          # (bounded by live over-capacity nodes,
+                                          # <= points-per-step / leaf capacity)
     seg_select_cap: int = 4096            # segments subdivided per split-loop round
     seg_scan_window: int = 1 << 18        # directory rows scanned for spill selection
                                           # (engine compacts segments before the live

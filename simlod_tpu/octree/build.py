@@ -253,57 +253,19 @@ def _lower_bound2(k0arr, k1arr, q0, q1, lo, hi):
     return lo
 
 
-def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
-    """One split-loop round: pick over-capacity leaves, create children, re-route.
+def _create_children(cfg: EngineConfig, state: OctreeState, tids, tv, n_take):
+    """Create 8 children for each taken node id (window K = tids.shape[0]).
 
-    Mirrors one expand() iteration of the reference (voxels.cu:385-414) except points
-    never move: stored segments are subdivided in the directory, and split nodes'
-    points are gathered once only to voxel-sample the newly inner node. All selection
-    math runs on the batch's run window (RW rows), not the node directory.
-
-    Structure is cond-copy-aware (XLA lax.cond copies branch outputs, ~15 ms per
-    full-state pass-through on v5e): selection/child-creation run unconditionally
-    (no-op scatters when nothing splits); only the spill pipeline sits under a cond,
-    and it carries just the arrays it writes — the candidate append and the batch
-    re-route happen outside.
-    """
+    Contiguous 8-blocks (the reference's `atomicAdd(&numNodes, 8)`,
+    progressive_octree_voxels.cu:317): one child_base index replaces 8 pointers.
+    Appends the 8 boundary-directory rows per node (the parent's row goes stale;
+    child 0 shares its key and, appended later, wins the stable-sort tie at the
+    next route) and fills the ancestor table. Returns (state, base[K],
+    cnx, cny, cnz, clvl [8K] flat child coords/levels)."""
     n_cap = state.child_base.shape[0]
-    B = work.leaf.shape[0]
-    K = cfg.max_splits_per_round
-    RW = runs.r_leaf.shape[0]
-    valid = work.valid
-
-    rvalid = jnp.arange(RW, dtype=jnp.int32) < jnp.minimum(runs.n_runs, RW)
-    lsafe = jnp.where(rvalid, runs.r_leaf, 0)
-    # for leaves, counter == stored num_points (they only diverge on inner nodes),
-    # so one gather serves both the over-capacity test and the spill budget
-    counter_r = gather1d(state.counter, lsafe)
-    level_r = gather1d(state.level, lsafe)
-    cb_r = gather1d(state.child_base, lsafe)
-    over = (rvalid & (cb_r < 0)
-            & (counter_r + runs.r_cnt > cfg.max_points_per_node)
-            & (level_r < cfg.max_depth))
-
-    # --- selection (cumsums over the RW run window) ---
-    rank = jnp.cumsum(over.astype(jnp.int32))          # inclusive
-    pts = jnp.where(over, counter_r, 0)
-    pts_ex = exclusive_cumsum(pts)
-    segs = jnp.where(over, gather1d(state.node_seg_count, lsafe), 0)
-    segs_ex = exclusive_cumsum(segs)
-    node_room = (state.num_nodes + 8 * rank) <= n_cap
-    take = (over & (rank <= K) & (pts_ex + pts <= cfg.spill_capacity)
-            & (segs_ex + segs <= cfg.seg_select_cap) & node_room)
-    n_take = jnp.sum(take.astype(jnp.int32))
-    state.mem_capacity_reached = state.mem_capacity_reached | \
-        jnp.any(over & ~node_room)
-
-    (tids_c, trow_c, tcnt_c), _ = compact_mask_via_sort(
-        take, (runs.r_leaf, runs.r_row, runs.r_cnt))
-    tv = jnp.arange(K, dtype=jnp.int32) < n_take
-    tids = jnp.where(tv, tids_c[:K], -1)
+    K = tids.shape[0]
     tsafe = jnp.maximum(tids, 0)
 
-    # --- create 8 children per taken node (contiguous block: child_base trick) ---
     base = state.num_nodes + 8 * jnp.arange(K, dtype=jnp.int32)
     plvl = state.level[tsafe]
     pnx, pny, pnz = state.nx[tsafe], state.ny[tsafe], state.nz[tsafe]
@@ -338,9 +300,7 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
         jnp.where(tv, tsafe, n_cap)].set(base, mode="drop")
     state.num_nodes = state.num_nodes + 8 * n_take
 
-    # --- leaf-boundary directory: append the 8 child boundaries ---
-    # (the parent's row goes stale; child 0 shares its key and, appended later,
-    # wins the stable-sort tie at the next route)
+    # leaf-boundary directory: append the 8 child boundaries
     clvl = rep(plvl + 1)
     bw0, bw1 = boundary_key(cnx, cny, cnz, clvl)
     bpk = (rep(base) + jnp.tile(octs, (K,))) * 32 + clvl
@@ -353,46 +313,138 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
     nb = state.num_boundaries + 8 * n_take
     state.mem_capacity_reached = state.mem_capacity_reached | (nb > n_cap)
     state.num_boundaries = jnp.minimum(nb, n_cap)
+    return state, base, cnx, cny, cnz, clvl
 
-    # --- gather stored points of split nodes (voxel sampling + sub-segmenting) ---
-    # Cascade rounds split freshly created children that hold no stored points; the
-    # spill pipeline is skipped under a cond in that common case. The cond carries
-    # ONLY the arrays it writes (directory + per-node counts); the big pools ride
-    # as closure inputs and the voxel-candidate append happens outside.
-    total_spill = jnp.sum(jnp.where(take, pts, 0))
-    just = jnp.zeros((n_cap,), jnp.bool_).at[
-        jnp.where(tv, tsafe, n_cap)].set(True, mode="drop")
-    SS = cfg.seg_select_cap  # selected-segment window (selection respects it)
+
+def _common_prefix_lo(qx, qy, qz, prev_ok):
+    """Per-row first-in-cell emission floor from the Morton-sorted stream.
+
+    In Morton order, the levels at which a row is first-in-cell form a contiguous
+    range starting at lo = (common prefix bits with the previous row) - (GRID_BITS-1)
+    (the level-l cell is the top l + GRID_BITS - 1... see batch_voxel_candidates).
+    A junk predecessor shares NO bits (bounded re-emission; dedup removes it)."""
+    xor3 = ((qx ^ jnp.roll(qx, 1)) | (qy ^ jnp.roll(qy, 1))
+            | (qz ^ jnp.roll(qz, 1)))
+    xor3 = jnp.where(prev_ok, xor3, -1)
+    yv = (xor3.astype(jnp.uint32)) << (32 - C.FULL_GRID_BITS)
+    yv = yv | (yv >> 1)
+    yv = yv | (yv >> 2)
+    yv = yv | (yv >> 4)
+    yv = yv | (yv >> 8)
+    yv = yv | (yv >> 16)
+    from ..ops.segments import popcount32
+    n_common = 32 - popcount32(yv)          # leading zeros = common prefix bits
+    return jnp.maximum(n_common - (C.GRID_BITS - 1), 0)
+
+
+def split_loop(cfg: EngineConfig, state: OctreeState, work: Work):
+    """Resolve ALL splits a batch causes with ONE stored-point spill.
+
+    The reference iterates expand() {count, split, re-insert} until no leaf is
+    over capacity (progressive_octree_voxels.cu:385-414), repeatedly touching
+    every spilled point. Round-2's port iterated similarly, re-gathering and
+    re-sorting the split nodes' stored points every cascade round (~3 rounds x
+    ~12 ms at 2M steps). This version restructures the cascade around sorted
+    INTERVALS so the heavy work happens once per step:
+
+      1. round-1 selection picks over-capacity leaves from the batch's run
+         window (stored counter + batch run > cap, spill/segment/node budgets);
+      2. their stored points are gathered ONCE and sorted by full Morton key
+         next to the (already sorted) batch stream — two sorted streams in
+         which ANY node's population is a contiguous interval;
+      3. the cascade runs on a FRONTIER of candidate child nodes (tiny arrays):
+         per round, each candidate's population is two interval lengths (binary
+         searches), over-capacity candidates split and push their 8 children —
+         no window-wide pass of any kind inside the loop;
+      4. finalization touches the wide windows once each: a single disjoint
+         interval-scatter + cumsum re-routes every batch and spilled row to its
+         FINAL leaf; stored segments subdivide directly to final depth (one
+         sort of the spill window by (segment, leaf)); spilled rows join the
+         batch's voxel-candidate emission with per-row level ranges
+         [split node level, final level).
+
+    Returns (state, work, runs, spill_extra) where spill_extra are the spilled
+    rows' candidate-emission columns for batch_voxel_candidates.
+    """
+    n_cap = state.child_base.shape[0]
+    s_cap = state.seg_node.shape[0]
+    B = work.leaf.shape[0]
+    K1 = cfg.max_splits_per_round
+    CK = min(cfg.cascade_splits_per_round, K1)
+    FW = 8 * K1                      # frontier capacity
+    # final-leaf capacity: every split (round 1 <= K1, cascade <= CK per round)
+    # contributes at most 8 leaves, plus the seed frontier
+    FLW = 8 * (K1 + CK * cfg.split_rounds) + FW
+    SS = cfg.seg_select_cap
     SPW = ragged.window_for(cfg.spill_capacity, SS)
     RUNW = 8 * SS
-    s_cap = state.seg_node.shape[0]
-    child_base_new = state.child_base  # post-creation (for spill + re-route)
+    valid = work.valid
+    mx = jnp.int32(I32_MAX)
 
-    def spill_calc(small):
-        (seg_node, seg_off, seg_cnt, num_segments, counter, num_points,
-         node_seg_count, memflag) = small
+    runs = compute_runs(cfg, work)
+    RW = runs.r_leaf.shape[0]
+
+    # valid-row prefix counts of the work stream (shared by all interval counts)
+    ecs = jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
+    ecs_pad = jnp.concatenate([ecs, work.count[None]])
+
+    # --- round-1 selection (cumsums over the RW run window) ---
+    rvalid = jnp.arange(RW, dtype=jnp.int32) < jnp.minimum(runs.n_runs, RW)
+    lsafe = jnp.where(rvalid, runs.r_leaf, 0)
+    # for leaves, counter == stored num_points (they only diverge on inner nodes),
+    # so one gather serves both the over-capacity test and the spill budget
+    counter_r = gather1d(state.counter, lsafe)
+    level_r = gather1d(state.level, lsafe)
+    cb_r = gather1d(state.child_base, lsafe)
+    over = (rvalid & (cb_r < 0)
+            & (counter_r + runs.r_cnt > cfg.max_points_per_node)
+            & (level_r < cfg.max_depth))
+    rank = jnp.cumsum(over.astype(jnp.int32))          # inclusive
+    pts = jnp.where(over, counter_r, 0)
+    pts_ex = exclusive_cumsum(pts)
+    segs = jnp.where(over, gather1d(state.node_seg_count, lsafe), 0)
+    segs_ex = exclusive_cumsum(segs)
+    node_room = (state.num_nodes + 8 * rank) <= n_cap
+    take = (over & (rank <= K1) & (pts_ex + pts <= cfg.spill_capacity)
+            & (segs_ex + segs <= cfg.seg_select_cap) & node_room)
+    n_take1 = jnp.sum(take.astype(jnp.int32))
+    state.mem_capacity_reached = state.mem_capacity_reached | \
+        jnp.any(over & ~node_room)
+
+    (tids_c, trow_c, tcnt_c), _ = compact_mask_via_sort(
+        take, (runs.r_leaf, runs.r_row, runs.r_cnt))
+    tv = jnp.arange(K1, dtype=jnp.int32) < n_take1
+    tids = jnp.where(tv, tids_c[:K1], -1)
+    tsafe = jnp.maximum(tids, 0)
+    tstart = jnp.where(tv, trow_c[:K1], B)
+    tend = jnp.where(tv, trow_c[:K1] + tcnt_c[:K1], B)
+    total_spill = jnp.sum(jnp.where(take, pts, 0))
+
+    # --- gather the taken nodes' stored points ONCE; sort by full Morton key ---
+    just = jnp.zeros((n_cap,), jnp.bool_).at[
+        jnp.where(tv, tsafe, n_cap)].set(True, mode="drop")
+
+    def spill_gather(_):
+        memflag = jnp.zeros((), jnp.bool_)
         # scan only the live watermark region (pow-of-two window): the full
-        # directory capacity can be 10-50x the live segment count, and the
-        # `just[...]` element gather costs ~8 ns per scanned row (measured 17 ms
-        # per spill round at s_cap = 2M). The engine compacts the directory
-        # before num_segments can outgrow the window.
+        # directory capacity can be 10-50x the live segment count (engine
+        # compacts the directory before num_segments outgrows the window)
         SGW = min(cfg.seg_scan_window, s_cap)
-        memflag = memflag | (num_segments > SGW)
-        s_sel = (seg_cnt[:SGW] > 0) & (seg_node[:SGW] >= 0) & \
-            just[jnp.clip(seg_node[:SGW], 0, n_cap - 1)]
+        memflag = memflag | (state.num_segments > SGW)
+        s_sel = (state.seg_cnt[:SGW] > 0) & (state.seg_node[:SGW] >= 0) & \
+            just[jnp.clip(state.seg_node[:SGW], 0, n_cap - 1)]
         (sel_full,), n_sel = compact_mask_via_sort(
             s_sel, (jnp.arange(SGW, dtype=jnp.int32),))
         memflag = memflag | (n_sel > SS)
         sv = jnp.arange(SS, dtype=jnp.int32) < n_sel
         ssafe = jnp.where(sv, sel_full[:SS], 0)
-        scnt = jnp.where(sv, seg_cnt[ssafe], 0)
-        soff = seg_off[ssafe]
-        snode = jnp.where(sv, seg_node[ssafe], 0)
+        scnt = jnp.where(sv, state.seg_cnt[ssafe], 0)
+        soff = state.seg_off[ssafe]
+        snode = jnp.where(sv, state.seg_node[ssafe], 0)
         snlvl = state.level[snode]
 
         rplan = ragged.plan(soff, scnt, SPW)
-        elem, rvalid_g = rplan.elem, rplan.valid
-        # guard: a window overflow would silently drop whole segments
+        rvalid_g = rplan.valid
         memflag = memflag | (
             jnp.sum(rvalid_g.astype(jnp.int32)) != jnp.sum(scnt))
         gx = ragged.gather_column(rplan, state.pt_x)
@@ -402,174 +454,292 @@ def _split_round(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs):
             ragged.gather_column(rplan, jax.lax.bitcast_convert_type(
                 state.pt_rgba, jnp.float32)), jnp.uint32)
         # per-segment constants are BROADCAST (scatter-delta + cumsum), never
-        # gathered: an element gather over the spill window costs ~7 ns/row
-        # (4 such gathers were 80+ ms/step on v5e; see docs/PERFORMANCE.md)
-        gnode = ragged.broadcast_i32(rplan, snode)
+        # gathered (~7 ns per gathered row on v5e; see docs/PERFORMANCE.md)
         glvl = ragged.broadcast_i32(rplan, snlvl)
         goff0 = ragged.broadcast_i32(rplan, soff)
         gqx, gqy, gqz = morton.quantize_cols(gx, gy, gz, state.box_min,
                                              state.cube_size)
-
-        # voxel candidates of the newly inner node, first-in-cell per segment,
-        # emitted as global prefix keys (no node lookup; the node is resolved at
-        # compaction — src carries gnode, which IS the owning node here).
-        # NOTE: a segment's first VALID row is elem == 0 — junk alignment rows
-        # before it carry arbitrary pool data, so adjacent-compare alone is not
-        # a safe boundary test there.
         gw0, gw1, gw2 = morton.encode(gqx, gqy, gqz)
-        gk0, gk1, gk2l = morton.key_words_at_level(gw0, gw1, gw2, glvl)
-        seg_first = rvalid_g & (elem == 0)
-        cell_changed = ((gk0 != jnp.roll(gk0, 1)) | (gk1 != jnp.roll(gk1, 1))
-                        | (gk2l != jnp.roll(gk2l, 1)))
-        first_cell = rvalid_g & (seg_first | cell_changed)
-        (ck0, ck1, ck2l, csrc, ccol), n_emit = compact_mask_via_sort(
-            first_cell, (gk0, gk1, gk2l, gnode,
-                         jax.lax.bitcast_convert_type(gc, jnp.int32)))
+        # 4-key sort (goff breaks cell ties deterministically: pool order =
+        # arrival order, matching first-come voxel semantics); junk alignment
+        # rows sort to the tail via MAX keys
+        k0m = jnp.where(rvalid_g, gw0, mx)
+        ggoff = goff0 + rplan.elem
+        sk0, sk1, sk2, sgoff, srgba, sseg, sglvl = jax.lax.sort(
+            (k0m, gw1, gw2, ggoff,
+             jax.lax.bitcast_convert_type(gc, jnp.int32), rplan.seg_of, glvl),
+            num_keys=4, is_stable=False)
+        n_spill = jnp.sum(rvalid_g.astype(jnp.int32))
+        return (sk0, sk1, sk2, sgoff, srgba, sseg, sglvl, n_spill, memflag,
+                sv, ssafe)
 
-        # sub-segment surgery: runs of (segment, octant) become child segments
-        goct = morton.octant_at_level(gqx, gqy, gqz, glvl)
-        oct_changed = goct != jnp.roll(goct, 1)
-        srun = rvalid_g & (seg_first | oct_changed)
-        child_of_row = ragged.broadcast_i32(
-            rplan, child_base_new[snode]) + goct
-        # compact the run rows (<= 8 per subdivided segment) so directory writes
-        # and count updates scatter a small window instead of the spill window;
-        # run lengths = valid-row-count difference between consecutive run starts
-        # (runs tile the valid rows; alignment junk between segments is invalid)
-        jwin = jnp.arange(SPW, dtype=jnp.int32)
-        ecs = jnp.cumsum(rvalid_g.astype(jnp.int32)) - rvalid_g.astype(jnp.int32)
-        total_valid = jnp.sum(rvalid_g.astype(jnp.int32))
-        (r_child, r_off, r_j), n_runs_all = compact_mask_via_sort(
-            srun, (child_of_row, goff0 + elem, jwin))
-        r_child, r_off, r_j = r_child[:RUNW], r_off[:RUNW], r_j[:RUNW]
+    def no_spill(_):
+        # derive every output from a batch value so the varying-axes type
+        # matches the spill branch under shard_map (vma typing)
+        z = jnp.zeros((SPW,), jnp.int32) + (total_spill & 0)
+        zs = jnp.zeros((SS,), jnp.int32) + (total_spill & 0)
+        return (z + mx, z, z, z, z, z, z, jnp.zeros_like(total_spill),
+                (total_spill & 0) > 0, zs > 1, zs)
+
+    (sk0, sk1, sk2, sgoff, srgba, sseg, sglvl, n_spill, sp_flag, sv, ssafe) = \
+        jax.lax.cond(total_spill > 0, spill_gather, no_spill, 0)
+    state.mem_capacity_reached = state.mem_capacity_reached | sp_flag
+
+    # taken nodes' spill intervals (their stored rows, contiguous post-sort)
+    t_s0, t_s1 = boundary_key(state.nx[tsafe], state.ny[tsafe],
+                              state.nz[tsafe], state.level[tsafe])
+    # zK derives from n_spill so the search carry is varying under shard_map
+    zK = jnp.zeros((K1,), jnp.int32) + (n_spill & 0)
+    tss = _lower_bound2(sk0, sk1, t_s0, t_s1, zK, zK + SPW)
+    # exclusive end: first spill key >= the next x-sibling's start works only
+    # within a parent; use the generic successor query (e0, e1) of the interval
+    # END key instead: boundary_key of (nx+1) wraps at axis ends, so search the
+    # lexicographic successor of the node's LAST contained key
+    tse = _lower_bound2(sk0, sk1, *_interval_end_query(
+        state.nx[tsafe], state.ny[tsafe], state.nz[tsafe], state.level[tsafe]),
+        zK, zK + SPW)
+    tss = jnp.where(tv, jnp.minimum(tss, n_spill), 0)
+    tse = jnp.where(tv, jnp.minimum(tse, n_spill), 0)
+
+    # --- create round-1 children; they seed the frontier ---
+    state, base1, cnx1, cny1, cnz1, clvl1 = _create_children(
+        cfg, state, tids, tv, n_take1)
+    f_id, f_lvl, f_nx, f_ny, f_nz, f_ws, f_we, f_ss, f_se = _child_rows(
+        work, sk0, sk1, tv, base1, cnx1, cny1, cnz1, clvl1,
+        tstart, tend, tss, tse)
+
+    def pad_to(a, n, fill):
+        return jnp.concatenate([a, jnp.full((n - a.shape[0],), fill, a.dtype)])
+
+    frontier = tuple(pad_to(a, FW, f)
+                     for a, f in ((f_id, -1), (f_lvl, 0), (f_nx, 0), (f_ny, 0),
+                                  (f_nz, 0), (f_ws, B), (f_we, B), (f_ss, 0),
+                                  (f_se, 0)))
+    # id,lvl,ws,we,ss,se — zeros derived from a batch value (shard_map vma typing)
+    fl = tuple(jnp.zeros((FLW,), jnp.int32) + (work.count & 0) for _ in range(6))
+    fl_n = jnp.zeros_like(work.count)
+
+    def cascade_cond(carry):
+        state, frontier, fl, fl_n, used, n_alive, rounds = carry
+        return (n_alive > 0) & (rounds < cfg.split_rounds)
+
+    def cascade_body(carry):
+        state, frontier, fl, fl_n, used, _na, rounds = carry
+        c_id, c_lvl, c_nx, c_ny, c_nz, c_ws, c_we, c_ss, c_se = frontier
+        alive = c_id >= 0
+        wcnt = gather1d(ecs_pad, jnp.clip(c_we, 0, B)) \
+            - gather1d(ecs_pad, jnp.clip(c_ws, 0, B))
+        scnt2 = c_se - c_ss
+        overc = alive & (wcnt + scnt2 > cfg.max_points_per_node) \
+            & (c_lvl < cfg.max_depth)
+        rank = jnp.cumsum(overc.astype(jnp.int32))
+        room = (state.num_nodes + 8 * rank) <= n_cap
+        # per-ROUND budget (matches the old cascade and the reference's bounded
+        # spillingNodes scratch): over-budget rows stay in the frontier and
+        # retry next round
+        takec = overc & (rank <= CK) & room
+        n_take = jnp.sum(takec.astype(jnp.int32))
+        state.mem_capacity_reached = state.mem_capacity_reached | \
+            jnp.any(overc & ~room)
+
+        (ct_id, ct_lvl, ct_nx, ct_ny, ct_nz, ct_ws, ct_we, ct_ss, ct_se), _ = \
+            compact_mask_via_sort(takec, frontier)
+        ctv = jnp.arange(CK, dtype=jnp.int32) < n_take
+        ct_id = jnp.where(ctv, ct_id[:CK], -1)
+        sl = lambda a, f: jnp.where(ctv, a[:CK], f)
+        ct_ws, ct_we = sl(ct_ws, B), sl(ct_we, B)
+        ct_ss, ct_se = sl(ct_ss, 0), sl(ct_se, 0)
+
+        state, baseC, cnxC, cnyC, cnzC, clvlC = _create_children(
+            cfg, state, ct_id, ctv, n_take)
+        rows = _child_rows(work, sk0, sk1, ctv, baseC,
+                           cnxC, cnyC, cnzC, clvlC, ct_ws, ct_we, ct_ss, ct_se)
+
+        # frontier rows that are NOT over capacity are decided: leaves.
+        # Over-but-over-budget rows stay in the frontier and retry next round.
+        done = alive & ~overc
+        (d_id, d_lvl, d_ws, d_we, d_ss, d_se), n_done = compact_mask_via_sort(
+            done, (c_id, c_lvl, c_ws, c_we, c_ss, c_se))
+        dv = jnp.arange(FW, dtype=jnp.int32) < n_done
+        pos = fl_n + jnp.arange(FW, dtype=jnp.int32)
+        fit = dv & (pos < FLW)
+        widx = jnp.where(fit, pos, FLW)
+        fl = (fl[0].at[widx].set(d_id, mode="drop"),
+              fl[1].at[widx].set(d_lvl, mode="drop"),
+              fl[2].at[widx].set(d_ws, mode="drop"),
+              fl[3].at[widx].set(d_we, mode="drop"),
+              fl[4].at[widx].set(d_ss, mode="drop"),
+              fl[5].at[widx].set(d_se, mode="drop"))
+        fl_n = fl_n + jnp.sum(fit.astype(jnp.int32))
+        state.mem_capacity_reached = state.mem_capacity_reached | \
+            jnp.any(dv & ~fit)
+
+        # next frontier = retained over-budget rows ++ the new children
+        keep = overc & ~takec
+        kept, n_keep = compact_mask_via_sort(keep, frontier)
+        defaults = (-1, 0, 0, 0, 0, B, B, 0, 0)
+        kv = jnp.arange(FW, dtype=jnp.int32) < n_keep
+        cat = tuple(jnp.concatenate(
+            [jnp.where(kv, k[:FW], jnp.asarray(f, k.dtype)), r])
+            for k, r, f in zip(kept, rows, defaults))
+        (cat_c), n_alive2 = compact_mask_via_sort(cat[0] >= 0, cat)
+        state.mem_capacity_reached = state.mem_capacity_reached | (n_alive2 > FW)
+        frontier = tuple(a[:FW] for a in cat_c)
+        return state, frontier, fl, fl_n, used + n_take, n_take, rounds + 1
+
+    one = jnp.ones_like(work.count)
+    state, frontier, fl, fl_n, _, _, _ = jax.lax.while_loop(
+        cascade_cond, cascade_body,
+        (state, frontier, fl, fl_n, n_take1 & 0, n_take1, jnp.zeros_like(one)))
+
+    # remaining frontier rows (loop exhausted) are leaves as well
+    c_id, c_lvl, _, _, _, c_ws, c_we, c_ss, c_se = frontier
+    rem = c_id >= 0
+    (d_id, d_lvl, d_ws, d_we, d_ss, d_se), n_done = compact_mask_via_sort(
+        rem, (c_id, c_lvl, c_ws, c_we, c_ss, c_se))
+    dv = jnp.arange(FW, dtype=jnp.int32) < n_done
+    pos = fl_n + jnp.arange(FW, dtype=jnp.int32)
+    fit = dv & (pos < FLW)
+    widx = jnp.where(fit, pos, FLW)
+    fl = (fl[0].at[widx].set(d_id, mode="drop"),
+          fl[1].at[widx].set(d_lvl, mode="drop"),
+          fl[2].at[widx].set(d_ws, mode="drop"),
+          fl[3].at[widx].set(d_we, mode="drop"),
+          fl[4].at[widx].set(d_ss, mode="drop"),
+          fl[5].at[widx].set(d_se, mode="drop"))
+    fl_n = fl_n + jnp.sum(fit.astype(jnp.int32))
+    state.mem_capacity_reached = state.mem_capacity_reached | jnp.any(dv & ~fit)
+
+    # --- final re-route: ONE disjoint interval-scatter + cumsum per stream ---
+    fl_id, fl_lvl, fl_ws, fl_we, fl_ss, fl_se = fl
+    flv = jnp.arange(FLW, dtype=jnp.int32) < fl_n
+    pk = jnp.where(flv, fl_id * 32 + fl_lvl + 1, 0)
+
+    def reroute(n_rows, s_idx, e_idx):
+        delta = jnp.zeros((n_rows + 1,), jnp.int32)
+        delta = delta.at[jnp.where(flv, s_idx, n_rows)].add(pk, mode="drop")
+        delta = delta.at[jnp.where(flv, e_idx, n_rows)].add(-pk, mode="drop")
+        return jnp.cumsum(delta[:n_rows])
+
+    cum_w = reroute(B, fl_ws, fl_we)
+    new_leaf = jnp.where(cum_w > 0, (cum_w - 1) >> 5, work.leaf)
+    new_lvl = jnp.where(cum_w > 0, (cum_w - 1) & 31, work.lvl)
+    work = work._replace(leaf=new_leaf, lvl=new_lvl)
+    runs = compute_runs(cfg, work)
+
+    cum_s = reroute(SPW, fl_ss, fl_se)
+    srow = jnp.arange(SPW, dtype=jnp.int32)
+    svalid = srow < n_spill
+    s_leaf = jnp.where(cum_s > 0, (cum_s - 1) >> 5, 0)
+    s_flvl = jnp.where(cum_s > 0, (cum_s - 1) & 31, 0)
+
+    # --- spilled rows join the voxel-candidate emission ---
+    # levels [split-node level, final level): the newly inner chain samples the
+    # same first-in-cell voxels the reference's per-level re-descent emits
+    # (voxels.cu:417-484), floored at the PREFIX first-in-cell level
+    sqx, sqy, sqz = morton.decode(sk0, sk1, sk2)
+    prev_ok = svalid & jnp.roll(svalid, 1) & (srow > 0)
+    s_lo = jnp.maximum(_common_prefix_lo(sqx, sqy, sqz, prev_ok), sglvl)
+    s_cnt = jnp.where(svalid, jnp.maximum(s_flvl - s_lo, 0), 0)
+    spill_extra = (sk0, sk1, sk2, s_leaf, srgba, s_lo, s_cnt)
+
+    # --- segment surgery: subdivide stored segments straight to final depth ---
+    def surgery(small):
+        (seg_node, seg_off, seg_cnt, num_segments, counter, num_points,
+         node_seg_count, memflag) = small
+        skey = jnp.where(svalid, sseg, SS)
+        o_seg, o_leaf, o_goff = jax.lax.sort(
+            (skey, s_leaf, sgoff), num_keys=3, is_stable=False)
+        starts = svalid & ((o_seg != jnp.roll(o_seg, 1))
+                           | (o_leaf != jnp.roll(o_leaf, 1)) | (srow == 0))
+        (r_leaf, r_goff, r_pos), n_runs_all = compact_mask_via_sort(
+            starts, (o_leaf, o_goff, srow))
+        r_leaf, r_goff, r_pos = r_leaf[:RUNW], r_goff[:RUNW], r_pos[:RUNW]
         rw_i = jnp.arange(RUNW, dtype=jnp.int32)
         rok = rw_i < n_runs_all
-        nxt_j = jnp.where(rw_i + 1 < n_runs_all,
-                          jnp.concatenate([r_j[1:], r_j[:1]]), SPW)
-        ecs_pad = jnp.concatenate([ecs, total_valid[None]])
-        r_len = jnp.where(
-            rok,
-            gather1d(ecs_pad, jnp.clip(nxt_j, 0, SPW))
-            - gather1d(ecs_pad, jnp.clip(r_j, 0, SPW)), 0)
-        npos = num_segments + jnp.arange(RUNW, dtype=jnp.int32)
-        fit = rok & (npos < s_cap)
-        widx2 = jnp.where(fit, npos, s_cap)
-        seg_node = seg_node.at[widx2].set(r_child, mode="drop")
-        seg_off = seg_off.at[widx2].set(r_off, mode="drop")
+        nxt = jnp.where(rw_i + 1 < n_runs_all,
+                        jnp.concatenate([r_pos[1:], r_pos[:1]]), n_spill)
+        r_len = jnp.where(rok, nxt - r_pos, 0)
+        npos = num_segments + rw_i
+        fit2 = rok & (npos < s_cap)
+        widx2 = jnp.where(fit2, npos, s_cap)
+        seg_node = seg_node.at[widx2].set(r_leaf, mode="drop")
+        seg_off = seg_off.at[widx2].set(r_goff, mode="drop")
         seg_cnt = seg_cnt.at[widx2].set(r_len, mode="drop")
-        n_runs = jnp.sum(fit.astype(jnp.int32))
+        n_runs = jnp.sum(fit2.astype(jnp.int32))
         num_segments = num_segments + n_runs
         memflag = memflag | (n_runs_all > n_runs)
-        # inherited counts: children take over the stored points they now own
-        addi = jnp.where(fit, r_child, n_cap)
-        addv = jnp.where(fit, r_len, 0)
+        # inherited counts: final leaves take over the stored points they own
+        addi = jnp.where(fit2, r_leaf, n_cap)
+        addv = jnp.where(fit2, r_len, 0)
         counter = counter.at[addi].add(addv, mode="drop")
         num_points = num_points.at[addi].add(addv, mode="drop")
         node_seg_count = node_seg_count.at[addi].add(
-            jnp.where(fit, 1, 0), mode="drop")
-
+            jnp.where(fit2, 1, 0), mode="drop")
         # kill the split nodes' old segments; zero their stored-point counts
         seg_cnt = seg_cnt.at[jnp.where(sv, ssafe, s_cap)].set(0, mode="drop")
         num_points = num_points.at[
             jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
         node_seg_count = node_seg_count.at[
             jnp.where(tv, tsafe, n_cap)].set(0, mode="drop")
-        return ((seg_node, seg_off, seg_cnt, num_segments, counter, num_points,
-                 node_seg_count, memflag), (ck0, ck1, ck2l, csrc, ccol, n_emit))
-
-    def no_spill(small):
-        # derive zeros from a batch value so the varying-axes type matches the
-        # spill branch under shard_map (vma typing)
-        z = jnp.zeros((SPW,), jnp.int32) + (total_spill & 0)
-        return small, (z, z, z, z, z, jnp.zeros_like(total_spill))
+        return (seg_node, seg_off, seg_cnt, num_segments, counter, num_points,
+                node_seg_count, memflag)
 
     small = (state.seg_node, state.seg_off, state.seg_cnt, state.num_segments,
              state.counter, state.num_points, state.node_seg_count,
              state.mem_capacity_reached)
-    small, cand = jax.lax.cond(total_spill > 0, spill_calc, no_spill, small)
+    small = jax.lax.cond(total_spill > 0, surgery, lambda s: s, small)
     (state.seg_node, state.seg_off, state.seg_cnt, state.num_segments,
      state.counter, state.num_points, state.node_seg_count,
      state.mem_capacity_reached) = small
-    state = _append_voxels_prefix(
-        cfg, state, cand[0], cand[1], cand[2], cand[3],
-        jax.lax.bitcast_convert_type(cand[4], jnp.uint32), cand[5])
-
-    # --- re-route batch rows whose leaf just split (one level down) ---
-    # taken runs are DISJOINT row intervals [r_row, r_row + r_cnt); scattering
-    # +-(child_base + 1) at interval boundaries and prefix-summing broadcasts each
-    # run's child_base to its rows with one cumsum — no scan, no per-row gather
-    tstart = jnp.where(tv, trow_c[:K], B)
-    tend = jnp.where(tv, trow_c[:K] + tcnt_c[:K], B)
-    delta = jnp.zeros((B + 1,), jnp.int32)
-    delta = delta.at[tstart].add(base + 1, mode="drop")
-    delta = delta.at[tend].add(-(base + 1), mode="drop")
-    cb = jnp.cumsum(delta[:B]) - 1
-    aff = valid & (cb >= 0)
-    new_leaf = jnp.where(
-        aff, cb + morton.octant_at_level(work.qx, work.qy, work.qz, work.lvl),
-        work.leaf)
-    new_lvl = work.lvl + aff.astype(jnp.int32)
-    work = work._replace(leaf=new_leaf, lvl=new_lvl)
-
-    # --- run surgery: swap each taken run for its <=8 child sub-runs ---
-    # Child interval starts are 2-word lower bounds of the child boundary keys
-    # in the (still sorted) route key stream, restricted to the parent run's
-    # interval — the run structure never needs re-deriving from the full batch
-    # (the old per-round compute_runs was a B-wide compare + compact sort,
-    # ~15 ms/step at 2M on v5e). Child 0 shares the parent's interval-start key
-    # with the junk boundary rows there, so its start is the parent's directly.
-    def surgery(runs):
-        pos = _lower_bound2(work.k0, work.k1, bw0, bw1 << 1,
-                            rep(tstart), rep(tend)).reshape(K, 8)
-        starts = pos.at[:, 0].set(tstart)
-        ends = jnp.concatenate([starts[:, 1:], tend[:, None]], axis=1)
-        kcnt = jnp.maximum(ends - starts, 0)
-        kleaf = base[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :]
-        kid_ok = tv[:, None] & (kcnt > 0)
-        n_kids = jnp.sum(kid_ok.astype(jnp.int32))
-
-        keep = rvalid & ~take
-        rows = jnp.concatenate([jnp.where(keep, runs.r_row, B),
-                                jnp.where(kid_ok, starts, B).reshape(-1)])
-        leafs = jnp.concatenate([runs.r_leaf, kleaf.reshape(-1)])
-        cnts = jnp.concatenate([jnp.where(keep, runs.r_cnt, 0),
-                                jnp.where(kid_ok, kcnt, 0).reshape(-1)])
-        srow_, sleaf_, scnt_ = jax.lax.sort((rows, leafs, cnts), num_keys=1,
-                                            is_stable=False)
-        n_new = runs.n_runs - n_take + n_kids
-        return Runs(r_leaf=sleaf_[:RW], r_cnt=scnt_[:RW], r_row=srow_[:RW],
-                    n_runs=n_new)
-
-    runs = jax.lax.cond(n_take > 0, surgery, lambda r: r, runs)
-    return state, work, runs, n_take
+    return state, work, runs, spill_extra
 
 
-def split_loop(cfg: EngineConfig, state: OctreeState, work: Work):
-    """Iterate split rounds until no leaf is over capacity (reference expand()).
+def _interval_end_query(nx, ny, nz, level):
+    """2-word query strictly greater than every Morton key inside the node.
 
-    Returns the final run structure so insertion reuses it instead of recomputing.
-    """
-    runs0 = compute_runs(cfg, work)
-
-    def cond(carry):
-        state, work, runs, n_take, rounds = carry
-        return (n_take > 0) & (rounds < cfg.split_rounds)
-
-    def body(carry):
-        state, work, runs, _n, rounds = carry
-        state, work, runs, n_take = _split_round(cfg, state, work, runs)
-        return state, work, runs, n_take, rounds + 1
-
-    # derive loop scalars from work.count so their sharding/varying type matches the
-    # loop body's outputs under shard_map (vma typing)
-    one = jnp.ones_like(work.count)
-    state, work, runs, _, _ = jax.lax.while_loop(
-        cond, body, (state, work, runs0, one, jnp.zeros_like(work.count)))
-    return state, work, runs
+    The node's last contained key has all suffix octant levels set to 7; its
+    lexicographic successor at (w0, w1) granularity is that key with w1 + 1
+    (w1 may overflow its 30 payload bits into a larger int32 — still sorts
+    after every real key). Works for the flagged work keys too: callers shift
+    w1 into flag space themselves."""
+    shift = C.FULL_GRID_BITS - level
+    w0, w1, _ = morton.encode((nx << shift) | ((1 << shift) - 1),
+                              (ny << shift) | ((1 << shift) - 1),
+                              (nz << shift) | ((1 << shift) - 1))
+    return w0, w1 + 1
 
 
-def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
-    """Emit the batch's first-in-cell voxel candidates for every inner ancestor level.
+def _child_rows(work, sk0, sk1, tv, base, cnx, cny, cnz,
+                clvl, t_ws, t_we, t_ss, t_se):
+    """Frontier rows for the 8 children of each taken node: ids, levels, coords,
+    and their work/spill stream intervals (child interval starts are 2-word
+    lower bounds of the child boundary keys restricted to the parent interval;
+    child 0 shares the parent's interval start)."""
+    K = tv.shape[0]
+    B = work.leaf.shape[0]
+    rep = lambda a: jnp.repeat(a, 8)
+    bw0, bw1 = boundary_key(cnx, cny, cnz, clvl)
+    posw = _lower_bound2(work.k0, work.k1, bw0, bw1 << 1,
+                         rep(t_ws), rep(t_we)).reshape(K, 8)
+    ws = posw.at[:, 0].set(t_ws)
+    we = jnp.concatenate([ws[:, 1:], t_we[:, None]], axis=1)
+    poss = _lower_bound2(sk0, sk1, bw0, bw1,
+                         rep(t_ss), rep(t_se)).reshape(K, 8)
+    ss = poss.at[:, 0].set(t_ss)
+    se = jnp.concatenate([ss[:, 1:], t_se[:, None]], axis=1)
+    kid = jnp.where(tv[:, None],
+                    base[:, None] + jnp.arange(8, dtype=jnp.int32)[None, :], -1)
+    return (kid.reshape(-1), clvl, cnx, cny, cnz,
+            jnp.where(kid >= 0, ws, B).reshape(-1),
+            jnp.where(kid >= 0, we, B).reshape(-1),
+            jnp.where(kid >= 0, ss, 0).reshape(-1),
+            jnp.where(kid >= 0, se, 0).reshape(-1))
+
+
+def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work,
+                           spill_extra=None):
+    """Emit the first-in-cell voxel candidates for every inner ancestor level.
 
     Equivalent to the reference's voxelSampling() descent with per-node occupancy
     bitmasks (voxels.cu:417-484): sampled levels are 0..leaf_level-1, plus level 0 when
@@ -580,6 +750,11 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     so the point emits exactly at levels where the common-prefix length with its
     predecessor is shorter than l + 7. That makes the per-candidate level a direct
     offset (no per-level loops, no bitmask walks).
+
+    `spill_extra` (from split_loop) carries the SPILLED rows' emission columns
+    (keys, src leaf, rgba, lo, cnt) — stored points of split nodes sample the
+    newly inner chain [node level, final level) through the same class-sorted
+    machinery as the batch.
     """
     B = work.leaf.shape[0]
     rowi = jnp.arange(B, dtype=jnp.int32)
@@ -592,20 +767,22 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     # bounded, within-batch duplicate that the store's first-arrival dedup
     # removes (stable compaction keeps the earlier append)
     prev_ok = jnp.roll(valid, 1) & (rowi != 0)
-    xor3 = ((work.qx ^ jnp.roll(work.qx, 1))
-            | (work.qy ^ jnp.roll(work.qy, 1))
-            | (work.qz ^ jnp.roll(work.qz, 1)))
-    xor3 = jnp.where(prev_ok, xor3, -1)
-    yv = (xor3.astype(jnp.uint32)) << (32 - C.FULL_GRID_BITS)
-    yv = yv | (yv >> 1)
-    yv = yv | (yv >> 2)
-    yv = yv | (yv >> 4)
-    yv = yv | (yv >> 8)
-    yv = yv | (yv >> 16)
-    from ..ops.segments import popcount32
-    n_common = 32 - popcount32(yv)            # leading zeros = common prefix bits
-    lo = jnp.maximum(n_common - (C.GRID_BITS - 1), 0)
+    lo = _common_prefix_lo(work.qx, work.qy, work.qz, prev_ok)
     cnt = jnp.where(valid, jnp.maximum(nlev - lo, 0), 0)
+
+    rgba_i = jax.lax.bitcast_convert_type(work.rgba, jnp.int32).astype(jnp.int32)
+    w0, w1, w2 = morton.encode(work.qx, work.qy, work.qz)
+    leaf = work.leaf
+    if spill_extra is not None:
+        xw0, xw1, xw2, xleaf, xrgba, xlo, xcnt = spill_extra
+        w0 = jnp.concatenate([w0, xw0])
+        w1 = jnp.concatenate([w1, xw1])
+        w2 = jnp.concatenate([w2, xw2])
+        leaf = jnp.concatenate([leaf, xleaf])
+        rgba_i = jnp.concatenate([rgba_i, xrgba])
+        lo = jnp.concatenate([lo, xlo])
+        cnt = jnp.concatenate([cnt, xcnt])
+    W2 = w0.shape[0]
 
     # Intra-batch candidate order is free: first-in-cell emission means each
     # (node, cell) appears AT MOST ONCE per batch, so dedup-by-store-position
@@ -617,10 +794,8 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
     # 3B-wide row gather (~4.5 ns/row) with one class sort (~3 ns/row).
     cls = jnp.where(cnt == 1, 0, jnp.where(cnt >= 2, 1, 2)).astype(jnp.int32)
     total = jnp.sum(cnt)
-    rgba_i = jax.lax.bitcast_convert_type(work.rgba, jnp.int32).astype(jnp.int32)
-    w0, w1, w2 = morton.encode(work.qx, work.qy, work.qz)
     _, sw0, sw1, sw2, sleaf, srgba, slo, scnt = jax.lax.sort(
-        (cls, w0, w1, w2, work.leaf, rgba_i, lo, cnt),
+        (cls, w0, w1, w2, leaf, rgba_i, lo, cnt),
         num_keys=1, is_stable=False)
     n_single = jnp.sum((cls == 0).astype(jnp.int32))
     n_multi = jnp.sum((cls == 1).astype(jnp.int32))
@@ -636,14 +811,14 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work):
 
     # --- multi-level emitters: a G2W-row slice starting at n_single, ragged-
     # expanded into a CC2-wide window (both far narrower than the batch) ---
-    G2W = min(B, cfg.cand_multi_rows or max(B // 4, 1024))
+    G2W = min(W2, cfg.cand_multi_rows or max(W2 // 4, 1024))
     # full expansion budget (worst case ~ candidate_factor x batch / 3) and the
     # steady-state window: cell opening runs ~0.5 M cells per 2M step on the
     # 16M bench, so the small tier must cover that — the big tier's src scatter
     # + 7-wide row gather (~25 ms at 2M) is paid only on early/fresh-region
     # steps where the opening rate spikes past it
-    CC2 = max((cfg.candidate_factor * B) // 3, 1024)
-    st_ = jnp.minimum(n_single, B - G2W)  # dynamic_slice clamp, made explicit
+    CC2 = max((cfg.candidate_factor * W2) // 3, 1024)
+    st_ = jnp.minimum(n_single, W2 - G2W)  # dynamic_slice clamp, made explicit
     grow = jnp.arange(G2W, dtype=jnp.int32)
     in_multi = (st_ + grow >= n_single) & (st_ + grow < n_single + n_multi)
     ds = lambda a: jax.lax.dynamic_slice(a, (st_,), (G2W,))
@@ -777,8 +952,8 @@ def build_step_impl(cfg: EngineConfig, state: OctreeState, x: jax.Array,
     cooperative kernel_construct launch (XLA op boundaries are the grid.sync()s).
     """
     state, work = route(cfg, state, x, y, z, rgba, count)
-    state, work, runs = split_loop(cfg, state, work)
-    state = batch_voxel_candidates(cfg, state, work)
+    state, work, runs, spill_extra = split_loop(cfg, state, work)
+    state = batch_voxel_candidates(cfg, state, work, spill_extra)
     state = insert_points(cfg, state, work, runs)
     return state
 

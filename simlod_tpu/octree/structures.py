@@ -185,8 +185,11 @@ def _cand_capacity(cfg: EngineConfig) -> int:
     # step_points wide — undersizing here lets near-capacity appends clamp the
     # dynamic_update_slice start and overwrite committed store rows (ADVICE r2)
     work_width = cfg.step_points + min(cfg.boundary_window, cfg.node_capacity)
-    cc2 = max((cfg.candidate_factor * work_width) // 3, 1024)
-    return max(work_width, cc2, spill_window) + 256
+    # spilled rows ride the same class-sorted emission as the batch, so the
+    # candidate stream (and its append windows) is work + spill wide
+    cand_width = work_width + spill_window
+    cc2 = max((cfg.candidate_factor * cand_width) // 3, 1024)
+    return max(cand_width, cc2, spill_window) + 256
 
 
 def node_min_size(state: OctreeState, ids=None):
