@@ -59,13 +59,15 @@ NBUF = 4             # chunk DMA pipeline depth
 
 
 def _make_kernel(tile: int, chunk: int):
+    H = tile // 128   # address factor groups (local pixel = hi * 128 + lo)
+
     def _kernel(offs_ref,        # scalar prefetch: [n_tiles+1] i32 sample offsets
                 mode_ref,        # scalar prefetch: [1] i32 (1 = HQS, 0 = plain)
                 cols_hbm,        # [S//chunk, NCOLS, chunk] bf16 value columns
                 color_out,       # [8, tile//8] u32 block (tile pixels, row-major)
                 depth_out,       # [8, tile//8] i32 block
                 cols_vmem,       # scratch [NBUF, NCOLS, chunk] bf16 ring buffer
-                state_vmem,      # scratch [tile, NCOLS] f32 accumulators
+                state_vmem,      # scratch [128, H*NCOLS] f32 accumulators
                 sem):            # DMA semaphores [NBUF]
         t = pl.program_id(0)
         lo = offs_ref[t]
@@ -74,8 +76,8 @@ def _make_kernel(tile: int, chunk: int):
         c0 = lo // chunk
         c1 = (hi + chunk - 1) // chunk
 
-        state_vmem[:, :] = jnp.zeros((tile, NCOLS), jnp.float32)
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, chunk), 0)
+        state_vmem[:, :] = jnp.zeros((128, H * NCOLS), jnp.float32)
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (128, chunk), 0)
 
         # one contiguous chunk-block DMA per iteration (the chunk-major HBM
         # layout avoids NCOLS separate strided row segments per transfer),
@@ -98,53 +100,66 @@ def _make_kernel(tile: int, chunk: int):
 
             dma_for(c, slot).wait()
             vals = cols_vmem[slot]                                # [NCOLS, chunk]
-            # rebuild the local pixel id and owning tile from the exact bf16
-            # address bytes; rows of other tiles (shared edge chunks, sort
-            # padding) get pix == -1 and match no one-hot row. The one-hot is
-            # built TRANSPOSED [tile, chunk]: the (chunk,) pixel vector stays in
-            # lanes (broadcast along sublanes is free; a [chunk, tile] layout
-            # would pay a lane->sublane transpose of pix every chunk) and the
-            # matmul contracts dim 1 of both operands.
-            lpix = (vals[12].astype(jnp.int32) * 128
-                    + vals[13].astype(jnp.int32))
+            # rebuild the factored local pixel id (hi < H, lo < 128) and owning
+            # tile from the exact bf16 address bytes; rows of other tiles
+            # (shared edge chunks, sort padding) get lo == -1 and match no
+            # one-hot row. The one-hot covers ONLY the 128 lo values (a flat
+            # one-hot would pay `tile` compares per sample — the VPU bound of
+            # the previous kernel); the hi factor moves into the VALUES: each
+            # value column is replicated H-fold, masked by its hi group, so ONE
+            # [128, chunk] x [H*NCOLS, chunk] matmul accumulates the whole tile
+            # into state[lo, hi*NCOLS + col]. VPU work per sample drops from
+            # `tile` to 128 + H*NCOLS compares/selects at identical MXU cost.
             trow = (vals[14].astype(jnp.int32)
                     + vals[15].astype(jnp.int32) * 256)
-            pix = jnp.where(trow == t, lpix, -1)
-            oh = (pix[None, :] == row_iota).astype(jnp.bfloat16)  # [tile, chunk]
+            hi_i = vals[12].astype(jnp.int32)
+            lo_i = jnp.where(trow == t, vals[13].astype(jnp.int32), -1)
+            oh_lo = (lo_i[None, :] == lo_iota).astype(jnp.bfloat16)  # [128,chunk]
+            exp = jnp.concatenate(
+                [jnp.where(hi_i[None, :] == h, vals, jnp.bfloat16(0))
+                 for h in range(H)], axis=0)                      # [H*NCOLS,chunk]
             acc = jax.lax.dot_general(
-                oh, vals, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)               # [tile, NCOLS]
+                oh_lo, exp, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)               # [128, H*NCOLS]
             state_vmem[:, :] = state_vmem[:, :] + acc
             return 0
 
         jax.lax.fori_loop(c0, c1, chunk_body, 0, unroll=False)
 
         hqs = mode_ref[0] == 1
-        cnt = state_vmem[:, 3]
-        covered = cnt > 0.0
-        cnt = jnp.maximum(cnt, 1.0)
+        bg = jnp.uint32(C.BACKGROUND_COLOR)
+        lanes = tile // 8
+        rows_per_h = 128 // lanes  # out-block rows covered by one hi group
 
         def q8(x):
             return (jnp.floor(x).astype(jnp.int32).astype(jnp.uint32)
                     & jnp.uint32(0xFF))
 
-        def b8(i):  # exact byte plane -> u32 (each cell got exactly one winner)
-            return state_vmem[:, i].astype(jnp.int32).astype(jnp.uint32) \
-                & jnp.uint32(0xFF)
+        # resolve per hi group: pixels [h*128, (h+1)*128) are out-block rows
+        # [h*rows_per_h, ...) — no [128, H, NCOLS] transpose needed
+        for h in range(H):
+            st = state_vmem[:, h * NCOLS:(h + 1) * NCOLS]         # [128, NCOLS]
+            cnt = st[:, 3]
+            covered = cnt > 0.0
+            cnt = jnp.maximum(cnt, 1.0)
 
-        hq_color = (q8(state_vmem[:, 0] / cnt)
-                    | (q8(state_vmem[:, 1] / cnt) << 8)
-                    | (q8(state_vmem[:, 2] / cnt) << 16)
-                    | jnp.uint32(0xFF000000))
-        pl_color = b8(8) | (b8(9) << 8) | (b8(10) << 16) | (b8(11) << 24)
-        color = jnp.where(hqs, hq_color, pl_color)
-        dbits = (b8(4) | (b8(5) << 8) | (b8(6) << 16) | (b8(7) << 24)) \
-            .astype(jnp.int32)
-        bg = jnp.uint32(C.BACKGROUND_COLOR)
-        lanes = tile // 8
-        color_out[:, :] = jnp.where(covered, color, bg).reshape(8, lanes)
-        depth_out[:, :] = jnp.where(covered, dbits,
-                                    jnp.int32(C.DEPTH_INF_BITS)).reshape(8, lanes)
+            def b8(i):  # exact byte plane -> u32 (each cell: exactly one winner)
+                return st[:, i].astype(jnp.int32).astype(jnp.uint32) \
+                    & jnp.uint32(0xFF)
+
+            hq_color = (q8(st[:, 0] / cnt)
+                        | (q8(st[:, 1] / cnt) << 8)
+                        | (q8(st[:, 2] / cnt) << 16)
+                        | jnp.uint32(0xFF000000))
+            pl_color = b8(8) | (b8(9) << 8) | (b8(10) << 16) | (b8(11) << 24)
+            color = jnp.where(hqs, hq_color, pl_color)
+            dbits = (b8(4) | (b8(5) << 8) | (b8(6) << 16) | (b8(7) << 24)) \
+                .astype(jnp.int32)
+            color_out[h * rows_per_h:(h + 1) * rows_per_h, :] = \
+                jnp.where(covered, color, bg).reshape(rows_per_h, lanes)
+            depth_out[h * rows_per_h:(h + 1) * rows_per_h, :] = \
+                jnp.where(covered, dbits,
+                          jnp.int32(C.DEPTH_INF_BITS)).reshape(rows_per_h, lanes)
 
     return _kernel
 
@@ -164,7 +179,7 @@ def _raster_kernel_call(cols, n_tiles: int, interpret: bool, tile: int,
         ),
         scratch_shapes=[
             pltpu.VMEM((NBUF, NCOLS, chunk), jnp.bfloat16),
-            pltpu.VMEM((tile, NCOLS), jnp.float32),
+            pltpu.VMEM((128, (tile // 128) * NCOLS), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
@@ -186,6 +201,9 @@ def rasterize_tiles(cfg: EngineConfig, uniforms: Uniforms, width: int, height: i
     """Drop-in replacement for raster.rasterize: (color u32 [H*W], depth i32 [H*W])."""
     tile = tile or TILE
     chunk = chunk or CHUNK
+    # the factored kernel needs lo in [0,128) and the per-hi resolve needs
+    # tile//8 lanes to divide 128
+    assert tile % 128 == 0 and tile <= 1024, tile
     npx = width * height
     n_tiles = (npx + tile - 1) // tile
     # pad rows encode tile id 65535 (two 255 bytes) and trow splits into two
