@@ -31,6 +31,8 @@ exhaustion, but transient and observable.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,13 +108,14 @@ def _exchange(x_cols, owner, count_l, n: int, S: int):
     send_cnt = jnp.minimum(cnt, S)
     dropped = jnp.sum(cnt - send_cnt)
 
+    # one gather per column instead of n dynamic_slices: program size stays
+    # O(1) in the device count (the slice loop compiled n separate slices —
+    # fine at n=8, quadratic program growth toward pod scale, VERDICT r2)
+    srow_idx = offs[:n, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    srow_idx = jnp.minimum(srow_idx, Bl - 1).reshape(-1)
+
     def slots(col):
-        # pad by S so a slice starting near the tail never gets start-clamped
-        # (dynamic_slice clamps out-of-bounds starts, which would silently
-        # re-read rows from the front and mis-route them)
-        colp = jnp.concatenate([col, jnp.zeros((S,), col.dtype)])
-        parts = [jax.lax.dynamic_slice(colp, (offs[d],), (S,)) for d in range(n)]
-        return jnp.stack(parts)                      # [n, S]
+        return col[srow_idx].reshape(n, S)           # [n, S]
 
     sent = [jax.lax.all_to_all(slots(c), AXIS, 0, 0, tiled=True) for c in scols]
     recv_cnt = jax.lax.all_to_all(send_cnt, AXIS, 0, 0, tiled=True)  # [n]
@@ -129,17 +132,19 @@ def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int,
                        slot_factor: int = 4):
     """Returns a jitted sharded simultaneous step:
 
-        (stacked_state, x, y, z, rgba, count, uniforms, do_compact, do_render)
+        (stacked_state, x, y, z, rgba, count, uniforms, do_render)
             -> (stacked_state, image, my_counts)
 
     Batch columns are SHARDED over the mesh (each device receives B/n rows; `count`
-    is the global valid prefix of the [B] batch). The returned function exposes
-    .recv_window (per-chip post-exchange work width) for scaling assertions.
+    is the global valid prefix of the [B] batch). Voxel compaction is host-gated
+    via `sharded_compact` (the single-chip engine's cadence policy; a per-step
+    full-store sort would dominate). The returned function exposes .recv_window
+    (per-chip post-exchange work width) for scaling assertions.
     """
     n = mesh.devices.size
     level = brick_level_for(n)
 
-    def local_step(state, x, y, z, rgba, count, uniforms, do_compact, do_render):
+    def local_step(state, x, y, z, rgba, count, uniforms, do_render):
         state = jax.tree.map(lambda a: jnp.squeeze(a, 0), state)
         Bl = x.shape[0]
         S = max(128, (slot_factor * Bl) // max(n, 1))
@@ -154,9 +159,6 @@ def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int,
             (x, y, z, rgba), owner, count_l, n, S)
         state.num_points_dropped = state.num_points_dropped + dropped
         state = build.build_step_impl(cfg, state, rx, ry, rz, rc, my_count)
-        state = jax.lax.cond(do_compact,
-                             lambda st: build.compact_voxels_impl(cfg, st),
-                             lambda st: st, state)
 
         def render(state):
             vis = visibility.compute_visibility(state, uniforms)
@@ -164,8 +166,17 @@ def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int,
             vox = raster.gather_voxel_samples(cfg, state, vis.emitted)
             pts = pts._replace(valid=pts.valid & uniforms.show_points)
             vox = vox._replace(valid=vox.valid & uniforms.show_points)
-            color, depth = raster.rasterize(cfg, uniforms, width, height,
-                                            [pts, vox])
+            # per-chip rasterization uses the same backend gate as render_frame
+            # (Pallas tile kernel on TPU, scatter path elsewhere); the cross-chip
+            # composite is the associative u64-atomicMin equivalent: pmin depth,
+            # unique-winner psum color
+            if cfg.use_tile_raster and jax.default_backend() == "tpu":
+                from ..render import raster_tiles
+                color, depth = raster_tiles.rasterize_tiles(
+                    cfg, uniforms, width, height, [pts, vox])
+            else:
+                color, depth = raster.rasterize(cfg, uniforms, width, height,
+                                                [pts, vox])
             gmin = jax.lax.pmin(depth, AXIS)
             big = jnp.int32(1 << 30)
             windev = jax.lax.pmin(jnp.where(depth == gmin, dev, big), AXIS)
@@ -183,16 +194,14 @@ def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int,
         state = jax.tree.map(lambda a: a[None], state)
         return state, img.reshape(height, width), my_count[None]
 
-    def step(state, x, y, z, rgba, count, uniforms, do_compact=True,
-             do_render=True):
-        do_compact = jnp.asarray(do_compact, jnp.bool_)
+    def step(state, x, y, z, rgba, count, uniforms, do_render=True):
         do_render = jnp.asarray(do_render, jnp.bool_)
         return shard_map(
             local_step, mesh=mesh,
             in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(),
-                      P(), P()),
+                      P()),
             out_specs=(P(AXIS), P(), P(AXIS)),
-        )(state, x, y, z, rgba, count, uniforms, do_compact, do_render)
+        )(state, x, y, z, rgba, count, uniforms, do_render)
 
     fn = jax.jit(step, donate_argnums=0)
 
@@ -208,3 +217,25 @@ def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int,
             return n * max(128, (slot_factor * Bl) // max(n, 1))
 
     return _Step()
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3), donate_argnums=2)
+def _sharded_compact(cfg: EngineConfig, mesh: Mesh, state, w: int):
+    def local(st):
+        st = jax.tree.map(lambda a: jnp.squeeze(a, 0), st)
+        st = build._compact_voxels_window(cfg, st, w)
+        return jax.tree.map(lambda a: a[None], st)
+
+    return shard_map(local, mesh=mesh, in_specs=(P(AXIS),),
+                     out_specs=P(AXIS))(state)
+
+
+def sharded_compact(cfg: EngineConfig, mesh: Mesh, state):
+    """Host-driven windowed voxel compaction across all chips.
+
+    The window is one pow2 bucket over the LARGEST per-chip watermark (one small
+    readback; all chips run the same program, as shard_map requires)."""
+    used = int(jnp.max(state.vox_used))
+    v_cap = state.vox_node.shape[1]
+    w = min(1 << max(10, (max(used, 1) - 1).bit_length()), v_cap)
+    return _sharded_compact(cfg, mesh, state, w)

@@ -62,8 +62,15 @@ def test_sharded_build_and_render(rng):
             jnp.asarray(np.ascontiguousarray(cx[:, 0])),
             jnp.asarray(np.ascontiguousarray(cx[:, 1])),
             jnp.asarray(np.ascontiguousarray(cx[:, 2])),
-            jnp.asarray(cc), jnp.int32(len(chunk)), u)
+            jnp.asarray(cc), jnp.int32(len(chunk)), u, False)
         total += int(np.asarray(counts).sum())
+    # compaction is host-gated across chips (the single-chip engine's cadence
+    # policy); the render needs the exact voxel CSR, so: compact, then one
+    # render-only step (count=0 build is a no-op)
+    sstate = shard.sharded_compact(CFG, mesh, sstate)
+    zero = jnp.zeros((B,), jnp.float32)
+    sstate, img, _ = step(sstate, zero, zero, zero,
+                          jnp.zeros((B,), jnp.uint32), jnp.int32(0), u, True)
     assert total == 20_000  # routing partitions the batch exactly
 
     # every device stored only its own points; sum matches
@@ -125,7 +132,7 @@ def test_all_to_all_scales_per_chip_work(rng):
         jnp.asarray(np.ascontiguousarray(xyz[:, 0])),
         jnp.asarray(np.ascontiguousarray(xyz[:, 1])),
         jnp.asarray(np.ascontiguousarray(xyz[:, 2])),
-        jnp.asarray(rgba), jnp.int32(B), u, False, False)
+        jnp.asarray(rgba), jnp.int32(B), u, False)
     counts = np.asarray(counts)
     assert counts.sum() == B                      # nothing dropped
     assert int(jnp.sum(sstate.num_points_dropped)) == 0
