@@ -89,6 +89,7 @@ def main() -> int:
     # later dispatches on the tunneled attachment — clean-room ordering)
     # (the reference's headline metric is a drag-drop load from disk, README.md:21)
     file_mps = None
+    fmt_extras = {}
     if FILE_BENCH:
         import tempfile
         from simlod_tpu.engine import Engine
@@ -116,15 +117,54 @@ def main() -> int:
             eng.load_all()
             log(f"file {label} load in {time.perf_counter()-t_c:.0f}s")
             eng.stream.stop()
-        t0 = time.perf_counter()
-        eng.open([path])
-        eng.load_all()
-        _ = int(eng.state.num_nodes)
-        t_file = time.perf_counter() - t0
-        eng.stream.stop()
+        t_file = float("inf")
+        for rep in range(2):   # best-of-2: tunnel-runtime variance is large
+            t0 = time.perf_counter()
+            eng.open([path])
+            eng.load_all()
+            _ = int(eng.state.num_nodes)
+            dt = time.perf_counter() - t0
+            eng.stream.stop()
+            log(f"file rep{rep}: {dt:.2f}s = {FILE_POINTS/dt/1e6:.2f} MP/s "
+                f"(nodes {int(eng.state.num_nodes)})")
+            t_file = min(t_file, dt)
         file_mps = FILE_POINTS / t_file / 1e6
-        log(f"file e2e ({FILE_POINTS} pts): {t_file:.2f}s = {file_mps:.1f} MP/s "
-            f"(nodes {int(eng.state.num_nodes)})")
+        log(f"file e2e ({FILE_POINTS} pts): {t_file:.2f}s = {file_mps:.1f} MP/s")
+
+        # --- per-format phases (reference README.md:10: LAS 200-300 /
+        # LAZ ~30 / simlod up to 580 MP/s on a 4090 + 16-core host; this
+        # host has ONE core, so decode-bound formats scale accordingly) ---
+        from simlod_tpu.formats import las as las_fmt
+        from simlod_tpu.formats import laz as laz_fmt
+        n_las = int(os.environ.get("BENCH_LAS_POINTS",
+                                   min(FILE_POINTS, 16_000_000)))
+        n_laz = int(os.environ.get("BENCH_LAZ_POINTS",
+                                   min(FILE_POINTS, 4_000_000)))
+        las_path = os.path.join(tempfile.gettempdir(), f"bench_{n_las}.las")
+        laz_path = os.path.join(tempfile.gettempdir(), f"bench_{n_laz}.laz")
+        if not os.path.exists(las_path):
+            t_c = time.perf_counter()
+            las_fmt.write(las_path, xyz[:n_las], rgba[:n_las])
+            log(f"wrote {las_path} in {time.perf_counter()-t_c:.0f}s")
+        if not os.path.exists(laz_path):
+            t_c = time.perf_counter()
+            laz_fmt.write(laz_path, xyz[:n_laz], rgba[:n_laz])
+            log(f"wrote {laz_path} in {time.perf_counter()-t_c:.0f}s")
+        for kind, pth, npts in (("las", las_path, n_las),
+                                ("laz", laz_path, n_laz)):
+            best = float("inf")
+            for rep in range(2):
+                laz_fmt._cache.clear()   # honest e2e: decode every rep
+                t0 = time.perf_counter()
+                eng.open([pth])
+                eng.load_all()
+                _ = int(eng.state.num_nodes)
+                dt = time.perf_counter() - t0
+                eng.stream.stop()
+                best = min(best, dt)
+            fmt_extras[f"file_{kind}_mps"] = round(npts / best / 1e6, 2)
+            log(f"file {kind} e2e ({npts} pts): {best:.2f}s = "
+                f"{npts/best/1e6:.2f} MP/s")
         del eng
 
 
@@ -203,6 +243,7 @@ def main() -> int:
         "unit": "MP/s",
         "vs_baseline": round(mps / BASELINE_MPS, 4),
         "file_e2e_mps": round(file_mps, 2) if file_mps else None,
+        **fmt_extras,
         "render_ms_1080p": round(render_ms, 2),
         "points": N_POINTS,
         "build_seconds": round(t_build, 3),
