@@ -50,7 +50,9 @@ def main() -> int:
         spill_capacity=1 << 19,
         seg_select_cap=2048,
         max_render_points=4 << 20,
-        max_render_voxels=4 << 20,
+        # the 64M frame draws ~6.5M visible voxels; a 4M cap truncated it in
+        # round 2 (VERDICT weak #2) — the window cap must clear the visible set
+        max_render_voxels=8 << 20,
     )
 
     # deterministic dataset; cached on disk (64M-point synthesis costs minutes)
@@ -209,9 +211,11 @@ def main() -> int:
     from simlod_tpu.render.render import probe_visible_counts
     nvp, nvv = probe_visible_counts(state, u)  # cheap: no raster program compiled
     # engine-style adaptive windows from the measured visible counts
+    # (1/8-pow2 buckets, see Engine._windows)
     def bucket(n, cap):
         n = max(int(n * 1.25) + 1024, 1 << 18)
-        return min(1 << (n - 1).bit_length(), cap)
+        b = max((n - 1).bit_length() - 3, 0)
+        return min(((n + (1 << b) - 1) >> b) << b, cap)
     pw = bucket(int(nvp), cfg.max_render_points)
     vw = bucket(int(nvv), cfg.max_render_voxels)
     def dbucket(n, cap):

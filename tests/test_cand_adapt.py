@@ -1,0 +1,52 @@
+"""Candidate-window drop accounting + engine auto-upsizing (VERDICT r2 weak #4)."""
+import numpy as np
+import jax.numpy as jnp
+
+from simlod_tpu.config import EngineConfig
+from simlod_tpu.engine import Engine
+
+
+def _cfg(**kw):
+    base = dict(
+        candidate_factor=21, node_capacity=1 << 12, point_capacity=1 << 18,
+        voxel_capacity=1 << 18, segment_capacity=1 << 14, step_points=1 << 12,
+        spill_capacity=1 << 12, max_splits_per_round=64,
+        seg_select_cap=1 << 10, max_points_per_node=128,
+        max_render_points=1 << 16, max_render_voxels=1 << 16)
+    base.update(kw)
+    return EngineConfig(**base)
+
+
+def _feed(eng, rng, steps):
+    B = eng.cfg.step_points
+    for _ in range(steps):
+        xyz = rng.random((B, 3), dtype=np.float32)
+        rgba = rng.integers(0, 2**32, B, dtype=np.uint64).astype(np.uint32)
+        eng.ingest(jnp.asarray(xyz[:, 0]), jnp.asarray(xyz[:, 1]),
+                   jnp.asarray(xyz[:, 2]), jnp.asarray(rgba), B)
+
+
+def test_engine_bumps_windows_under_sustained_drops():
+    """Random (revisit-free at these depths) data through starved candidate
+    windows must trigger the auto-upsize; the bumped windows then drop less
+    per step than the starved ones did."""
+    rng = np.random.default_rng(3)
+    starved = _cfg(cand_multi_rows=256, cand_multi_window=1024)
+    eng = Engine(starved)
+    eng.reset(np.zeros(3, np.float32), np.ones(3, np.float32))
+    _feed(eng, rng, 8)   # two poll intervals
+    assert eng._cand_bumps >= 1
+    assert eng.cfg.cand_multi_window > starved.cand_multi_window
+
+    # fresh engines at both sizes, same data: the bumped window drops less
+    rng_a, rng_b = np.random.default_rng(7), np.random.default_rng(7)
+    ea, eb = Engine(starved), Engine(eng.cfg)
+    ea._cand_bumps = eb._cand_bumps = 99   # freeze the policy for A/B purity
+    for e in (ea, eb):
+        e.reset(np.zeros(3, np.float32), np.ones(3, np.float32))
+    _feed(ea, rng_a, 4)
+    _feed(eb, rng_b, 4)
+    da = int(ea.state.num_candidates_dropped)
+    db = int(eb.state.num_candidates_dropped)
+    assert da > 0            # the starved config actually dropped
+    assert db < da           # the bumped config drops strictly less
