@@ -64,23 +64,22 @@ def plan(src_off: jax.Array, cnt: jax.Array, out_len: int) -> RaggedPlan:
     sr = jnp.maximum(seg_of_r, 0)
     src_row = row0[sr] + (jr - row_offs[sr])          # small-table gathers (S entries)
 
-    # per-element segment id + validity via monotone carries
-    pstart = row_offs * A + phase
-    pend = pstart + cnt
-    j = jnp.arange(out_len, dtype=jnp.int32)
-    mpos = jnp.where(nz, pstart, out_len)
-    m_seg = jnp.full((out_len,), -1, jnp.int32).at[mpos].max(seg_ids, mode="drop")
-    seg_of = carry_last(m_seg)
-    m_end = jnp.full((out_len,), -1, jnp.int32).at[mpos].max(
-        jnp.where(nz, pend, -1), mode="drop")
-    end_of = carry_last(m_end)
-    m_start = jnp.full((out_len,), -1, jnp.int32).at[mpos].max(
-        jnp.where(nz, pstart, -1), mode="drop")
-    start_of = carry_last(m_start)
-    valid = (seg_of >= 0) & (j < end_of)
-    elem = j - jnp.maximum(start_of, 0)
-    return RaggedPlan(src_row=src_row, r_ok=r_ok, seg_of=jnp.maximum(seg_of, 0),
-                      elem=elem, valid=valid, mpos=mpos, out_len=out_len)
+    # Per-element fields in the [WR, A] ROW domain: no two segments share an
+    # output row (row_offs is cumulative), so every element field is its row's
+    # segment field + lane arithmetic. The previous formulation carried three
+    # full-window cummaxes (seg/start/end markers); at multi-million-row render
+    # windows those scans were ~1 ms each per plan while the whole gather moves
+    # only ~0.05 ns/element — the row-domain gathers below are WR-sized.
+    pstart_r = row_offs[sr] * A + phase[sr]      # [WR] segment start position
+    pend_r = pstart_r + cnt[sr]
+    j2 = jr[:, None] * A + jnp.arange(A, dtype=jnp.int32)[None, :]
+    valid2 = r_ok[:, None] & (j2 >= pstart_r[:, None]) & (j2 < pend_r[:, None])
+    elem2 = j2 - pstart_r[:, None]
+    seg_of = jnp.broadcast_to(sr[:, None], (WR, A)).reshape(out_len)
+    mpos = jnp.where(nz, row_offs * A + phase, out_len)
+    return RaggedPlan(src_row=src_row, r_ok=r_ok, seg_of=seg_of,
+                      elem=elem2.reshape(out_len), valid=valid2.reshape(out_len),
+                      mpos=mpos, out_len=out_len)
 
 
 def gather_column(p: RaggedPlan, src: jax.Array) -> jax.Array:

@@ -97,24 +97,32 @@ def gather_voxel_samples(cfg: EngineConfig, state: OctreeState,
     rgba = jax.lax.bitcast_convert_type(
         ragged.gather_column(p, jax.lax.bitcast_convert_type(
             state.vox_rgba, jnp.int32).astype(jnp.int32)), jnp.uint32)
-    # the owning node and its (level, X, Y, Z) are per-segment constants: BROADCAST
-    # them (scatter-delta + cumsum, ~0.06 ns/row) instead of element-gathering over
-    # the sample window (~7 ns/row; these four gathers were ~60 ms/frame on v5e)
-    node = jnp.where(p.valid, ragged.broadcast_i32(
-        p, jnp.arange(counts.shape[0], dtype=jnp.int32)), 0)
-    lvl = ragged.broadcast_i32(p, state.level)
+    # the global prefix key IS the voxel's absolute address: level rides k2l's
+    # low 5 bits and the decoded per-axis prefix q >> (MAX_DEPTH+1-level) is
+    # node coords (top bits) ++ 128^3 cell coords (low 7 bits). Deriving
+    # (level, nx..nz, cell) per row from the key replaces five per-segment
+    # broadcasts (one full-window cumsum each, ~0.75 ms/scan at 4M rows).
+    lvl = k2l & 31
+    qx, qy, qz = morton.decode(k0, k1, k2l & ~31)
+    shift = jnp.clip((C.MAX_DEPTH + 1) - lvl, 0, C.FULL_GRID_BITS)
+    px, py, pz = qx >> shift, qy >> shift, qz >> shift
+    m = C.GRID_SIZE - 1
     size = state.cube_size / jnp.exp2(lvl.astype(jnp.float32))
     # float op order matches the reference exactly (sampleVoxel voxels.cu:103-115):
     # nodeMin = X*nodeSize + min; voxel = nodeMin + nodeSize*(cell+0.5)/128
-    _, cxi, cyi, czi = morton.key_words_decode(k0, k1, k2l)
     g = jnp.float32(C.GRID_SIZE)
-    x = (ragged.broadcast_i32(p, state.nx).astype(jnp.float32) * size
-         + state.box_min[0]) + size * ((cxi.astype(jnp.float32) + 0.5) / g)
-    y = (ragged.broadcast_i32(p, state.ny).astype(jnp.float32) * size
-         + state.box_min[1]) + size * ((cyi.astype(jnp.float32) + 0.5) / g)
-    z = (ragged.broadcast_i32(p, state.nz).astype(jnp.float32) * size
-         + state.box_min[2]) + size * ((czi.astype(jnp.float32) + 0.5) / g)
-    return Samples(x=x, y=y, z=z, rgba=rgba, node_fn=lambda: node,
+    x = ((px >> C.GRID_BITS).astype(jnp.float32) * size
+         + state.box_min[0]) + size * (((px & m).astype(jnp.float32) + 0.5) / g)
+    y = ((py >> C.GRID_BITS).astype(jnp.float32) * size
+         + state.box_min[1]) + size * (((py & m).astype(jnp.float32) + 0.5) / g)
+    z = ((pz >> C.GRID_BITS).astype(jnp.float32) * size
+         + state.box_min[2]) + size * (((pz & m).astype(jnp.float32) + 0.5) / g)
+
+    def node_fn():   # debug color modes only (colorByNode): lazy, costs a cumsum
+        return jnp.where(p.valid, ragged.broadcast_i32(
+            p, jnp.arange(counts.shape[0], dtype=jnp.int32)), 0)
+
+    return Samples(x=x, y=y, z=z, rgba=rgba, node_fn=node_fn,
                    level_fn=lambda: lvl, valid=p.valid,
                    count=jnp.minimum(jnp.sum(counts), W))
 
