@@ -3,31 +3,33 @@ reference's 64-bit atomicMin framebuffer splats (render.cu:95-99, 487-493).
 
 TPUs have no global atomics and XLA scatters cost ~8 ns per attempted row, so the
 scatter-based path (render/raster.py) pays hundreds of ms per frame. This path
-restructures rasterization around one sort, one XLA prepass, and one Pallas kernel:
+restructures rasterization around one sort, a thin XLA prepass, and one Pallas kernel:
 
   1. project all samples -> (pixel, depth, color)                    [XLA, VPU]
-  2. sort samples by (pixel, depth_bits, color_key)                  [XLA, ~2 ns/row]
+  2. sort samples by (pixel, depth_bits, color_key)                  [XLA, ~1 ns/row/col]
      After the sort each pixel's samples are one contiguous run whose FIRST row is
      the u64-atomicMin winner (min depth, then min color — the exact tiebreak of
      `(depth<<32)|rgba` in render.cu:95-99).
   3. XLA prepass: the winner flag is a run-start compare; the winner DEPTH is
      carried to every row of its run by one take-last scan; the HQS accept test
-     (depth < wd * 1.01, render.cu:487) and all mode logic happen here on the VPU.
-     Every output quantity is PREMULTIPLIED into 12 bf16 byte-plane columns
-     (r,g,b,count × accept-or-winner; 4 winner-depth bytes; 4 winner-color bytes)
-     — bytes are <= 255 so bf16 is exact, and each framebuffer cell receives every
-     contribution of exactly-representable terms summed in f32. Four more bf16
-     columns carry the ADDRESS exactly: local pixel id split hi/lo (< 8, < 128)
-     and owning-tile id split hi/lo bytes — 16 columns total, exactly one bf16
-     sublane tile, so the kernel needs no separate (misaligned) i32 pixel buffer.
-  4. a Pallas kernel walks the sorted stream once, gridded over framebuffer tiles
-     of T pixels. Per chunk of K samples it rebuilds the local pixel ids from the
-     address columns, masks rows whose tile id is not this tile (shared edge
-     chunks, sort padding), builds a one-hot [K, T] bf16 matrix, and performs ONE
-     MXU matmul:
-        state[T, 16] += onehot^T @ cols[K, 16]
+     (depth < wd * 1.01, render.cu:487) and the mode select happen here on the VPU.
+     The RESULT is packed into the sample stream itself: the winner and contribute
+     bits ride the pixel word's high bits, so the kernel input is just FOUR i32
+     columns per sample — (flags|pixel, depth_bits, color, pad), 16 B/sample (the
+     previous 16-bf16-column layout moved 32 B/sample and needed a separate
+     premultiply pass).
+  4. a Pallas kernel walks the packed stream once, gridded over framebuffer tiles
+     of T pixels. Per chunk of K samples it unpacks pixel/flags, masks rows whose
+     tile id is not this tile (shared edge chunks, sort padding), extracts the
+     depth/color BYTES on the VPU (exact in bf16: all <= 255), builds a one-hot
+     [128, K] bf16 matrix over the factored local pixel id, and performs ONE
+     MXU matmul per chunk:
+        state[128, H*16] += onehot @ values^T     (bf16 x bf16 -> f32)
      Chunks run in order but carry no sequential dependency (winners were resolved
      in the prepass), so the whole kernel is a pure binned accumulation.
+     (An int8 x int8 -> int32 variant was measured SLOWER — 22.7 ms vs 12.8 at
+     the 16M bench frame — the i32->i8 pack relayouts on the VPU cost more than
+     the MXU/DMA savings; bf16 stays.)
   5. resolve to RGBA + exact depth bits per tile (byte-plane reassembly) [VPU]
 
 Tile sample ranges come from one searchsorted over tile boundaries (the stream is
@@ -50,12 +52,19 @@ from . import raster
 
 TILE = 512           # framebuffer pixels per tile (multiple of 128)
 CHUNK = 512          # samples processed per kernel inner iteration
-# (512/512 swept fastest on v5e at 4M samples/1080p: 14.0 ms vs 16.7 for
-#  1024/1024 — the kernel is bound by a ~0.5 us/chunk fixed cost plus ~2.4 ns
-#  per 1K one-hot elements, so smaller tiles win until boundary-chunk
-#  duplication at n_tiles ~ 8k overtakes; see scripts/raster_tpu_check.py)
-NCOLS = 16           # bf16 columns per sample: 12 values + 4 address bytes
+# (512/512 swept fastest on v5e at 4M samples/1080p — the kernel is bound by a
+#  ~0.5 us/chunk fixed cost plus per-sample VPU work, so smaller tiles win until
+#  boundary-chunk duplication at n_tiles ~ 8k overtakes; scripts/raster_tpu_check.py)
+NCI = 4              # i32 input columns per sample: flags|pixel, depth bits,
+                     # color, zero pad (Mosaic DMA slices align sublanes to 4)
+NC = 16              # bf16 value rows per sample (12 used, padded to one 16-row group)
 NBUF = 4             # chunk DMA pipeline depth
+# flag bits riding the pixel word (pixel ids stay below 2^28: a 33M-pixel
+# framebuffer overflows the tile-id limit long before this)
+WIN_BIT = 28         # this row is its pixel's u64-atomicMin winner
+AM_BIT = 29          # this row contributes color (mode already resolved: HQS
+                     # accept, or == winner in plain mode)
+PIX_MASK = (1 << WIN_BIT) - 1
 
 
 def _make_kernel(tile: int, chunk: int):
@@ -63,11 +72,11 @@ def _make_kernel(tile: int, chunk: int):
 
     def _kernel(offs_ref,        # scalar prefetch: [n_tiles+1] i32 sample offsets
                 mode_ref,        # scalar prefetch: [1] i32 (1 = HQS, 0 = plain)
-                cols_hbm,        # [S//chunk, NCOLS, chunk] bf16 value columns
+                cols_hbm,        # [S//chunk, NCI, chunk] i32 packed columns
                 color_out,       # [8, tile//8] u32 block (tile pixels, row-major)
                 depth_out,       # [8, tile//8] i32 block
-                cols_vmem,       # scratch [NBUF, NCOLS, chunk] bf16 ring buffer
-                state_vmem,      # scratch [128, H*NCOLS] f32 accumulators
+                cols_vmem,       # scratch [NBUF, NCI, chunk] i32 ring buffer
+                state_vmem,      # scratch [128, H*NC] i32 accumulators
                 sem):            # DMA semaphores [NBUF]
         t = pl.program_id(0)
         lo = offs_ref[t]
@@ -76,12 +85,10 @@ def _make_kernel(tile: int, chunk: int):
         c0 = lo // chunk
         c1 = (hi + chunk - 1) // chunk
 
-        state_vmem[:, :] = jnp.zeros((128, H * NCOLS), jnp.float32)
+        state_vmem[:, :] = jnp.zeros((128, H * NC), jnp.float32)
         lo_iota = jax.lax.broadcasted_iota(jnp.int32, (128, chunk), 0)
 
-        # one contiguous chunk-block DMA per iteration (the chunk-major HBM
-        # layout avoids NCOLS separate strided row segments per transfer),
-        # pipelined NBUF deep
+        # one contiguous chunk-block DMA per iteration, pipelined NBUF deep
         def dma_for(c, slot):
             return pltpu.make_async_copy(
                 cols_hbm.at[c], cols_vmem.at[slot], sem.at[slot])
@@ -99,28 +106,49 @@ def _make_kernel(tile: int, chunk: int):
                 dma_for(c + (NBUF - 1), (c + (NBUF - 1)) % NBUF).start()
 
             dma_for(c, slot).wait()
-            vals = cols_vmem[slot]                                # [NCOLS, chunk]
-            # rebuild the factored local pixel id (hi < H, lo < 128) and owning
-            # tile from the exact bf16 address bytes; rows of other tiles
-            # (shared edge chunks, sort padding) get lo == -1 and match no
-            # one-hot row. The one-hot covers ONLY the 128 lo values (a flat
-            # one-hot would pay `tile` compares per sample — the VPU bound of
-            # the previous kernel); the hi factor moves into the VALUES: each
-            # value column is replicated H-fold, masked by its hi group, so ONE
-            # [128, chunk] x [H*NCOLS, chunk] matmul accumulates the whole tile
-            # into state[lo, hi*NCOLS + col]. VPU work per sample drops from
-            # `tile` to 128 + H*NCOLS compares/selects at identical MXU cost.
-            trow = (vals[14].astype(jnp.int32)
-                    + vals[15].astype(jnp.int32) * 256)
-            hi_i = vals[12].astype(jnp.int32)
-            lo_i = jnp.where(trow == t, vals[13].astype(jnp.int32), -1)
-            oh_lo = (lo_i[None, :] == lo_iota).astype(jnp.bfloat16)  # [128,chunk]
+            vals = cols_vmem[slot]                                # [NCI, chunk]
+            f0 = vals[0]
+            pix = f0 & PIX_MASK
+            lpix = pix - t * tile
+            mine = (lpix >= 0) & (lpix < tile)
+            win = mine & (((f0 >> WIN_BIT) & 1) == 1)
+            am = mine & (((f0 >> AM_BIT) & 1) == 1)
+            db = vals[1]
+            col = vals[2]
+
+            # factored local pixel id: the one-hot covers ONLY the 128 lo
+            # values; the hi factor moves into the VALUES (each value row is
+            # replicated H-fold, masked by its hi group), so ONE
+            # [128,chunk] x [H*NC,chunk] matmul accumulates the whole tile into
+            # state[lo, hi*NC + row]. Rows of other tiles get lo == -1 and
+            # match no one-hot row.
+            lo_i = jnp.where(mine, lpix & 127, -1)
+            hi_i = lpix >> 7
+            oh_lo = (lo_i[None, :] == lo_iota).astype(jnp.bfloat16)  # [128, chunk]
+
+            amf = am.astype(jnp.bfloat16)
+            wf = win.astype(jnp.bfloat16)
+
+            def byte(v, k):  # bytes <= 255 are exact in bf16
+                return ((v >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
+
+            zero = jnp.zeros((chunk,), jnp.bfloat16)
+            rows = [
+                byte(col, 0) * amf, byte(col, 1) * amf,
+                byte(col, 2) * amf, amf,
+                byte(db, 0) * wf, byte(db, 1) * wf,
+                byte(db, 2) * wf, byte(db, 3) * wf,
+                byte(col, 0) * wf, byte(col, 1) * wf,
+                byte(col, 2) * wf, byte(col, 3) * wf,
+            ]
+            rows += [zero] * (NC - len(rows))
+            vals16 = jnp.stack(rows)                              # [NC, chunk]
             exp = jnp.concatenate(
-                [jnp.where(hi_i[None, :] == h, vals, jnp.bfloat16(0))
-                 for h in range(H)], axis=0)                      # [H*NCOLS,chunk]
+                [jnp.where(hi_i[None, :] == h, vals16, jnp.bfloat16(0))
+                 for h in range(H)], axis=0)                      # [H*NC, chunk]
             acc = jax.lax.dot_general(
                 oh_lo, exp, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)               # [128, H*NCOLS]
+                preferred_element_type=jnp.float32)               # [128, H*NC]
             state_vmem[:, :] = state_vmem[:, :] + acc
             return 0
 
@@ -136,20 +164,20 @@ def _make_kernel(tile: int, chunk: int):
                     & jnp.uint32(0xFF))
 
         # resolve per hi group: pixels [h*128, (h+1)*128) are out-block rows
-        # [h*rows_per_h, ...) — no [128, H, NCOLS] transpose needed
+        # [h*rows_per_h, ...) — no [128, H, NC] transpose needed
         for h in range(H):
-            st = state_vmem[:, h * NCOLS:(h + 1) * NCOLS]         # [128, NCOLS]
+            st = state_vmem[:, h * NC:(h + 1) * NC]               # [128, NC]
             cnt = st[:, 3]
             covered = cnt > 0.0
-            cnt = jnp.maximum(cnt, 1.0)
+            cntf = jnp.maximum(cnt, 1.0)
 
             def b8(i):  # exact byte plane -> u32 (each cell: exactly one winner)
                 return st[:, i].astype(jnp.int32).astype(jnp.uint32) \
                     & jnp.uint32(0xFF)
 
-            hq_color = (q8(st[:, 0] / cnt)
-                        | (q8(st[:, 1] / cnt) << 8)
-                        | (q8(st[:, 2] / cnt) << 16)
+            hq_color = (q8(st[:, 0] / cntf)
+                        | (q8(st[:, 1] / cntf) << 8)
+                        | (q8(st[:, 2] / cntf) << 16)
                         | jnp.uint32(0xFF000000))
             pl_color = b8(8) | (b8(9) << 8) | (b8(10) << 16) | (b8(11) << 24)
             color = jnp.where(hqs, hq_color, pl_color)
@@ -178,8 +206,8 @@ def _raster_kernel_call(cols, n_tiles: int, interpret: bool, tile: int,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, NCOLS, chunk), jnp.bfloat16),
-            pltpu.VMEM((128, (tile // 128) * NCOLS), jnp.float32),
+            pltpu.VMEM((NBUF, NCI, chunk), jnp.int32),
+            pltpu.VMEM((128, (tile // 128) * NC), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
@@ -206,14 +234,9 @@ def rasterize_tiles(cfg: EngineConfig, uniforms: Uniforms, width: int, height: i
     assert tile % 128 == 0 and tile <= 1024, tile
     npx = width * height
     n_tiles = (npx + tile - 1) // tile
-    # pad rows encode tile id 65535 (two 255 bytes) and trow splits into two
-    # bytes, so real tile ids must stay below that (ADVICE r2). 65534 tiles at
-    # TILE=512 is a ~33M-pixel framebuffer — far past any supported target.
-    if n_tiles >= 65535:
-        raise ValueError(
-            f"framebuffer {width}x{height} needs {n_tiles} tiles; the tile-id "
-            f"byte encoding supports at most 65534 (raise TILE)")
     npad = n_tiles * tile
+    # pixel ids share their i32 with the win/contribute flag bits
+    assert npad < (1 << WIN_BIT), (width, height)
 
     pixs, dbits, colors = [], [], []
     for s in sample_sets:
@@ -236,7 +259,8 @@ def rasterize_tiles(cfg: EngineConfig, uniforms: Uniforms, width: int, height: i
     spix, sdb, sck = jax.lax.sort((pix, db, ckey), num_keys=3, is_stable=False)
     scol = jax.lax.bitcast_convert_type(sck, jnp.uint32) ^ jnp.uint32(0x80000000)
 
-    # --- XLA prepass: winner flag, carried winner depth, accept, premultiply ---
+    # --- prepass: winner flag, carried winner depth, mode-resolved contribute
+    # bit; both bits ride the pixel word (see module docstring step 3) ---
     valid = spix < npad
     win = (spix != jnp.roll(spix, 1)).at[0].set(True) & valid
     winm = jnp.asarray(jnp.iinfo(jnp.int32).min, jnp.int32)
@@ -245,42 +269,23 @@ def rasterize_tiles(cfg: EngineConfig, uniforms: Uniforms, width: int, height: i
     depth = jax.lax.bitcast_convert_type(sdb, jnp.float32)
     accept = valid & (depth < wd * jnp.float32(1.01))
     am = jnp.where(uniforms.use_high_quality_shading, accept, win)
-    amf = am.astype(jnp.bfloat16)
-    wf = win.astype(jnp.bfloat16)
-
-    def byte(v, k):
-        return ((v >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
-
-    sdbu = jax.lax.bitcast_convert_type(sdb, jnp.uint32)
-    # address columns: local pixel id split (hi < 8, lo < 128) and tile id split
-    # into bytes — all exactly representable in bf16 (pad rows land on tile
-    # n_tiles, which no kernel program claims)
-    lpix = spix % tile
-    trow = spix // tile
-    cols = jnp.stack([
-        byte(scol, 0) * amf, byte(scol, 1) * amf, byte(scol, 2) * amf, amf,
-        byte(sdbu, 0) * wf, byte(sdbu, 1) * wf,
-        byte(sdbu, 2) * wf, byte(sdbu, 3) * wf,
-        byte(scol, 0) * wf, byte(scol, 1) * wf,
-        byte(scol, 2) * wf, byte(scol, 3) * wf,
-        (lpix // 128).astype(jnp.bfloat16), (lpix % 128).astype(jnp.bfloat16),
-        (trow % 256).astype(jnp.bfloat16), (trow // 256).astype(jnp.bfloat16),
-    ], axis=0)                                   # [NCOLS, S] bf16
+    f0 = spix | (win.astype(jnp.int32) << WIN_BIT) | (am.astype(jnp.int32) << AM_BIT)
 
     # per-tile sample offsets: the stream is pixel-sorted, so tile ranges come from
     # one small binary search (n_tiles+1 probes) instead of any scatter
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile
     offs = jnp.searchsorted(spix, bounds, side="left").astype(jnp.int32)
 
+    cols = jnp.stack([f0, sdb, jax.lax.bitcast_convert_type(scol, jnp.int32),
+                      jnp.zeros_like(f0)])
     S = spix.shape[0]
     Spad = ((S + chunk - 1) // chunk) * chunk
     if Spad != S:
-        # pad rows: zero values, tile id bytes pointing past the last tile
-        pad = jnp.zeros((NCOLS, Spad - S), jnp.bfloat16)
-        pad = pad.at[14, :].set(jnp.bfloat16(255)).at[15, :].set(jnp.bfloat16(255))
+        # pad rows: pixel id npad (no tile claims it), flags clear
+        pad = jnp.full((NCI, Spad - S), npad, jnp.int32)
         cols = jnp.concatenate([cols, pad], axis=1)
-    # chunk-major layout: each kernel DMA is one contiguous (NCOLS, chunk) block
-    cols = cols.reshape(NCOLS, Spad // chunk, chunk).transpose(1, 0, 2)
+    # chunk-major layout: each kernel DMA is one contiguous (NCI, chunk) block
+    cols = cols.reshape(NCI, Spad // chunk, chunk).transpose(1, 0, 2)
     mode = jnp.where(uniforms.use_high_quality_shading, 1, 0).astype(
         jnp.int32).reshape(1)
 
