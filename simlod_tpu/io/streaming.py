@@ -87,7 +87,8 @@ class PointStream:
 
     def __init__(self, paths, step_points: int, device=None,
                  num_loaders: int | None = None, ring_slots: int = 8,
-                 batch_points: int = BATCH_POINTS, chunk_steps: int = 1):
+                 batch_points: int = BATCH_POINTS, chunk_steps: int = 1,
+                 box_override=None):
         self.entries = scan_paths(paths)
         if not self.entries:
             raise FileNotFoundError(f"no point cloud files under {paths!r}")
@@ -95,8 +96,15 @@ class PointStream:
         self.device = device
         self.batch_points = batch_points
         self.chunk_steps = max(1, chunk_steps)
-        self.box_min = np.min([e.box_min for e in self.entries], axis=0)
-        self.box_max = np.max([e.box_max for e in self.entries], axis=0)
+        if box_override is not None:
+            # out-of-core brick streams: coordinates are rebased to a WIDER
+            # world box (the union over all bricks) so every brick's octree
+            # shares one global cube (see outofcore.py)
+            self.box_min = np.asarray(box_override[0], np.float64)
+            self.box_max = np.asarray(box_override[1], np.float64)
+        else:
+            self.box_min = np.min([e.box_min for e in self.entries], axis=0)
+            self.box_max = np.max([e.box_max for e in self.entries], axis=0)
         self.total_points = sum(e.num_points for e in self.entries)
 
         # batch list (reference reload(), :719-767)

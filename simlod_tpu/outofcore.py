@@ -1,0 +1,239 @@
+"""Out-of-core ingestion: datasets larger than the device point pool (VERDICT r2 §5).
+
+The reference caps datasets at GPU-resident size ("can only display data sets that
+fit in GPU memory", reference README.md:12). This module removes that cap on the
+TPU build with BRICK-GRANULAR residency:
+
+  - the input is partitioned into spatial bricks (one per input file — the natural
+    unit for tiled aerial-lidar releases like San Simeon's 18 B points),
+  - every brick is streamed and built into its own octree over the SHARED GLOBAL
+    cube (PointStream box_override rebases each brick into the union frame, so all
+    brick subtrees are embedded in one world-space octree domain),
+  - when a brick finishes, its state is EVICTED to host memory: the leaf point
+    pool (the bulk of the bytes) leaves the device; the node directory + compacted
+    voxel store (the LOD above the leaves) is kept host-side and re-materialized
+    into a compact render state on demand,
+  - rendering draws every brick's resident voxel LOD and composites the frames by
+    depth-min (render.composite_frames) — associative, so the composite equals a
+    joint render of all bricks (the reference's u64 atomicMin blend, render.cu:95-99),
+  - a closeup that needs leaf points pages ONE brick's point pool back in
+    (`page_in`), the out-of-core analogue of the reference's all-resident detail.
+
+Device residency is therefore O(one brick) for construction plus O(voxel LOD) for
+rendering, while the dataset totals O(sum of bricks) — the capacity multiplier is
+the brick count. Per-brick octrees share one EngineConfig, so every brick reuses
+the same compiled build/render programs.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from .config import EngineConfig, Settings, Uniforms
+from .engine import Engine
+from .io.streaming import PointStream, scan_paths
+from .octree.structures import init_state
+from .render import camera as camera_mod
+from .render.render import composite_frames, render_components
+
+# node columns copied into a brick's resident render state
+_NODE_COLS = ("child_base", "parent", "level", "nx", "ny", "nz", "counter",
+              "num_points", "num_voxels", "vox_voff", "vox_vcnt")
+_VOX_COLS = ("vox_k0", "vox_k1", "vox_k2l", "vox_node", "vox_rgba")
+_PT_COLS = ("pt_x", "pt_y", "pt_z", "pt_rgba")
+_SEG_COLS = ("seg_node", "seg_off", "seg_cnt")
+
+
+@dataclasses.dataclass
+class Brick:
+    """One evicted brick: host-resident arrays + watermarks."""
+    path: str
+    nodes: dict            # column -> np [num_nodes]
+    voxels: dict           # column -> np [vox_used] (compacted: sorted + deduped)
+    points: dict           # column -> np [pool_used] (EVICTED leaf points)
+    segs: dict             # column -> np [num_segments]
+    num_nodes: int
+    num_segments: int
+    vox_used: int
+    pool_used: int
+    num_points: int        # points fed (accounting)
+
+    @property
+    def host_bytes(self) -> int:
+        return sum(a.nbytes for d in (self.nodes, self.voxels, self.points,
+                                      self.segs) for a in d.values())
+
+
+def _pow2(n: int, lo: int = 128) -> int:
+    return max(lo, 1 << (max(n, 1) - 1).bit_length())
+
+
+class OutOfCoreEngine:
+    """Builds bricks sequentially through ONE device engine, keeps their voxel
+    LOD renderable, and composites frames across bricks."""
+
+    def __init__(self, cfg: EngineConfig | None = None,
+                 settings: Settings | None = None):
+        self.cfg = cfg or EngineConfig()
+        self.settings = settings or Settings()
+        self.engine = Engine(self.cfg, self.settings)
+        self.bricks: list[Brick] = []
+        self._resident: dict[int, object] = {}   # brick idx -> device render state
+        self._paged_in: int | None = None
+        self.camera = camera_mod.Camera()
+        self.orbit = camera_mod.OrbitControls()
+
+    # --- lifecycle ---
+    def open(self, paths) -> list[str]:
+        """Scan bricks (one per file) and compute the global union box."""
+        entries = scan_paths(paths)
+        if not entries:
+            raise FileNotFoundError(f"no point cloud files under {paths!r}")
+        self.global_min = np.min([e.box_min for e in entries], axis=0)
+        self.global_max = np.max([e.box_max for e in entries], axis=0)
+        self.brick_paths = [e.path for e in entries]
+        self.bricks = []
+        self._resident = {}
+        ext = (self.global_max - self.global_min).astype(np.float32)
+        if self.settings.auto_focus_on_load:
+            self.orbit.focus_box(np.zeros(3), ext)
+            self.camera.world = self.orbit.world()
+        return self.brick_paths
+
+    def build_all(self) -> None:
+        for path in self.brick_paths:
+            self.build_brick(path)
+
+    def build_brick(self, path: str) -> Brick:
+        """Stream one brick through the shared engine, then evict it."""
+        eng = self.engine
+        stream = PointStream([path], self.cfg.step_points,
+                             chunk_steps=self.cfg.steps_per_dispatch,
+                             box_override=(self.global_min, self.global_max))
+        eng.stream = stream
+        eng._stream_iter = iter(stream)
+        ext = (self.global_max - self.global_min).astype(np.float32)
+        eng.reset(np.zeros(3, np.float32), ext)
+        eng.load_all()
+        stream.stop()
+        eng._maybe_compact(force=True)
+        brick = self._evict(path, eng.state)
+        self.bricks.append(brick)
+        return brick
+
+    def _evict(self, path: str, s) -> Brick:
+        """Pull the brick's used prefixes to host; the device copy is dropped when
+        the next brick resets the engine (reference has no analogue — its datasets
+        must stay fully resident)."""
+        nn, ns = int(s.num_nodes), int(s.num_segments)
+        vu, pu = int(s.vox_used), int(s.pool_used)
+        pull = lambda col, n: np.asarray(getattr(s, col)[:n])
+        return Brick(
+            path=path,
+            nodes={c: pull(c, nn) for c in _NODE_COLS},
+            voxels={c: pull(c, vu) for c in _VOX_COLS},
+            points={c: pull(c, pu) for c in _PT_COLS},
+            segs={c: pull(c, ns) for c in _SEG_COLS},
+            num_nodes=nn, num_segments=ns, vox_used=vu, pool_used=pu,
+            num_points=int(s.num_points_processed) - int(s.num_points_dropped),
+        )
+
+    # --- resident render states ---
+    def _render_cfg(self) -> EngineConfig:
+        """One shared shape set for ALL bricks' render states (one compile)."""
+        nn = _pow2(max(b.num_nodes for b in self.bricks), 1024)
+        vv = _pow2(max(b.vox_used for b in self.bricks))
+        ns = _pow2(max(b.num_segments for b in self.bricks))
+        pp = _pow2(max(b.pool_used for b in self.bricks))
+        return dataclasses.replace(
+            self.cfg, node_capacity=nn, voxel_capacity=vv, segment_capacity=ns,
+            # page_in shares these shapes; voxel-only states just leave the
+            # point pool empty (gathers see num_segments segments of count 0)
+            point_capacity=pp,
+            max_render_voxels=min(self.cfg.max_render_voxels, vv),
+            max_render_points=min(self.cfg.max_render_points, _pow2(pp)),
+        )
+
+    def _render_state(self, i: int, with_points: bool):
+        """Materialize brick i as a compact device OctreeState (voxel LOD only,
+        or full with the paged-in point pool)."""
+        b = self.bricks[i]
+        rcfg = self._render_cfg()
+        ext = (self.global_max - self.global_min).astype(np.float32)
+        st = init_state(rcfg, np.zeros(3, np.float32), ext)
+        rep = {}
+        pad = lambda col, a, n: np.concatenate(
+            [a, np.zeros(max(0, n - len(a)), a.dtype)])[:n] \
+            .astype(np.asarray(getattr(st, col)).dtype)
+        for c in _NODE_COLS:
+            rep[c] = jax.device_put(pad(c, b.nodes[c], rcfg.node_capacity))
+        for c in _VOX_COLS:
+            rep[c] = jax.device_put(pad(c, b.voxels[c],
+                                        getattr(st, c).shape[0]))
+        import jax.numpy as jnp
+        rep["num_nodes"] = jnp.asarray(b.num_nodes, jnp.int32)
+        rep["vox_used"] = jnp.asarray(b.vox_used, jnp.int32)
+        rep["vox_compacted"] = jnp.asarray(b.vox_used, jnp.int32)
+        if with_points:
+            for c in _PT_COLS:
+                rep[c] = jax.device_put(pad(c, b.points[c],
+                                            getattr(st, c).shape[0]))
+            for c in _SEG_COLS:
+                rep[c] = jax.device_put(pad(c, b.segs[c], rcfg.segment_capacity))
+            rep["num_segments"] = jnp.asarray(b.num_segments, jnp.int32)
+            rep["pool_used"] = jnp.asarray(b.pool_used, jnp.int32)
+        return dataclasses.replace(st, **rep)
+
+    def resident_state(self, i: int):
+        if i not in self._resident:
+            self._resident[i] = self._render_state(i, with_points=False)
+        return self._resident[i]
+
+    def page_in(self, i: int):
+        """Restore brick i's evicted leaf points for full-detail closeups; at most
+        one brick's point pool is device-resident at a time."""
+        if self._paged_in is not None and self._paged_in != i:
+            self._resident.pop(self._paged_in, None)   # back to voxel-only
+        self._resident[i] = self._render_state(i, with_points=True)
+        self._paged_in = i
+        return self._resident[i]
+
+    # --- rendering ---
+    def uniforms(self, width: int, height: int) -> Uniforms:
+        self.camera.width, self.camera.height = width, height
+        self.camera.fovy = self.settings.fovy
+        return Uniforms.make(width, height, self.camera.transform(),
+                             settings=self.settings)
+
+    def render(self, width: int, height: int):
+        """Composited frame over all bricks -> (u32 [H, W], per-brick stats)."""
+        import jax.numpy as jnp
+        rcfg = self._render_cfg()
+        u = self.uniforms(width, height)
+        vw = rcfg.max_render_voxels
+        pw = rcfg.max_render_points if self._paged_in is not None else 1 << 17
+        colors, depths, stats = [], [], []
+        for i in range(len(self.bricks)):
+            st = self.resident_state(i)
+            c, d, fs = render_components(rcfg, st, width, height, u, pw, vw,
+                                         None, None)
+            colors.append(c)
+            depths.append(d)
+            stats.append(fs)
+        img, _ = composite_frames(jnp.stack(colors), jnp.stack(depths), u,
+                                  width, height)
+        return img, stats
+
+    def report(self) -> dict:
+        return dict(
+            bricks=len(self.bricks),
+            total_points=sum(b.num_points for b in self.bricks),
+            total_voxels=sum(b.vox_used for b in self.bricks),
+            total_nodes=sum(b.num_nodes for b in self.bricks),
+            evicted_point_rows=sum(b.pool_used for b in self.bricks),
+            host_bytes=sum(b.host_bytes for b in self.bricks),
+            device_point_capacity=self.cfg.point_capacity,
+            paged_in=self._paged_in,
+        )

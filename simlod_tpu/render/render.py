@@ -52,12 +52,20 @@ def _trim_directories(state: OctreeState, node_window: int | None,
     return _dc.replace(state, **rep) if rep else state
 
 
-def render_frame_impl(cfg: EngineConfig, state: OctreeState, width: int, height: int,
-                      uniforms: Uniforms, point_window: int | None = None,
-                      voxel_window: int | None = None,
-                      node_window: int | None = None,
-                      seg_window: int | None = None):
-    """Render one frame. Returns (rgba u32 [H, W], FrameStats).
+def render_components_impl(cfg: EngineConfig, state: OctreeState, width: int,
+                           height: int, uniforms: Uniforms,
+                           point_window: int | None = None,
+                           voxel_window: int | None = None,
+                           node_window: int | None = None,
+                           seg_window: int | None = None):
+    """Render one frame WITHOUT the EDL post-process; returns
+    (color u32 [H*W], depth_bits i32 [H*W], FrameStats).
+
+    The depth plane makes frames composable: the u64 atomicMin winner rule is
+    associative over framebuffers, so depth-min compositing of independently
+    rendered states (out-of-core bricks, per-chip shards) equals a joint
+    render — EDL then runs once on the composite (see outofcore.py,
+    parallel/shard.py; reference blend at render.cu:95-99).
 
     point/voxel_window override the sample windows, node/seg_window the
     directory column windows (the engine sizes them to the previous frame's
@@ -100,7 +108,6 @@ def render_frame_impl(cfg: EngineConfig, state: OctreeState, width: int, height:
     color, depth = jax.lax.cond(uniforms.show_bounding_box, with_boxes,
                                 lambda args: args, (color, depth))
 
-    color = raster.edl(color, depth, uniforms, width, height)
     pw = ((point_window or cfg.max_render_points) // 128) * 128
     vw = ((voxel_window or cfg.max_render_voxels) // 128) * 128
     stats = FrameStats(
@@ -112,11 +119,40 @@ def render_frame_impl(cfg: EngineConfig, state: OctreeState, width: int, height:
         truncated=(vis.num_visible_points > pw) | (vis.num_visible_voxels > vw)
         | over,
     )
+    return color, depth, stats
+
+
+def render_frame_impl(cfg: EngineConfig, state: OctreeState, width: int, height: int,
+                      uniforms: Uniforms, point_window: int | None = None,
+                      voxel_window: int | None = None,
+                      node_window: int | None = None,
+                      seg_window: int | None = None):
+    """Render one frame (components + EDL). Returns (rgba u32 [H, W], FrameStats)."""
+    color, depth, stats = render_components_impl(
+        cfg, state, width, height, uniforms, point_window, voxel_window,
+        node_window, seg_window)
+    color = raster.edl(color, depth, uniforms, width, height)
     return color.reshape(height, width), stats
 
 
 render_frame = functools.partial(
     jax.jit, static_argnums=(0, 2, 3, 5, 6, 7, 8))(render_frame_impl)
+render_components = functools.partial(
+    jax.jit, static_argnums=(0, 2, 3, 5, 6, 7, 8))(render_components_impl)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def composite_frames(colors, depths, uniforms: Uniforms, width: int, height: int):
+    """Depth-min composite of independently rendered (color, depth) planes plus
+    one EDL pass — the associative equivalent of rendering their union state.
+
+    colors/depths are [K, H*W] stacks (u32 / i32 depth bits; positive-float
+    bits order like floats, so jnp.min IS the depth test)."""
+    k = jnp.argmin(depths, axis=0)
+    depth = jnp.take_along_axis(depths, k[None, :], axis=0)[0]
+    color = jnp.take_along_axis(colors, k[None, :], axis=0)[0]
+    color = raster.edl(color, depth, uniforms, width, height)
+    return color.reshape(height, width), depth
 
 
 @jax.jit

@@ -1,0 +1,121 @@
+"""Out-of-core brick engine: datasets larger than the device point pool
+(outofcore.py; capability the reference lacks — README.md:12 caps at GPU-resident)."""
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from simlod_tpu import constants as C
+from simlod_tpu.config import EngineConfig, Settings
+from simlod_tpu.formats import las as las_fmt
+from simlod_tpu.outofcore import OutOfCoreEngine
+
+
+N_PER_BRICK = 40_000
+POOL_CAP = 1 << 16          # 65,536 < 2 x 40,000: the union does NOT fit
+
+
+def _write_bricks(tmp, rng, n_bricks=2):
+    """Disjoint-box LAS bricks along x (tiled-release layout, e.g. San Simeon).
+
+    LAS, not .simlod: the simlod format rebases every file to its own origin
+    (reference las2simlod.mjs:96-101 writes header min = 0), so world placement
+    only survives in LAS/LAZ tiles — which is what tiled releases ship."""
+    paths = []
+    for i in range(n_bricks):
+        xyz = rng.random((N_PER_BRICK, 3)).astype(np.float32)
+        xyz[:, 0] = xyz[:, 0] * 0.9 + i * 1.0     # brick i covers x in [i, i+0.9]
+        rgba = rng.integers(0, 2**32, N_PER_BRICK,
+                            dtype=np.uint64).astype(np.uint32)
+        p = os.path.join(tmp, f"brick_{i}.las")
+        las_fmt.write(p, xyz, rgba)
+        paths.append(p)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(5)
+    tmp = tempfile.mkdtemp()
+    paths = _write_bricks(tmp, rng)
+    cfg = EngineConfig(
+        candidate_factor=21, node_capacity=1 << 12, point_capacity=POOL_CAP,
+        voxel_capacity=1 << 18, segment_capacity=1 << 14, step_points=1 << 12,
+        spill_capacity=1 << 12, max_splits_per_round=64, seg_select_cap=1 << 10,
+        max_points_per_node=1024,
+        max_render_points=1 << 17, max_render_voxels=1 << 18)
+    ooc = OutOfCoreEngine(cfg, Settings(enable_edl=False))
+    ooc.open(paths)
+    ooc.build_all()
+    return ooc
+
+
+def test_exceeds_device_pool(built):
+    """The whole point: total ingested points exceed the device point pool."""
+    r = built.report()
+    assert r["bricks"] == 2
+    assert r["total_points"] == 2 * N_PER_BRICK
+    assert r["total_points"] > built.cfg.point_capacity
+    assert r["evicted_point_rows"] >= r["total_points"]  # pool rows incl. waste
+
+
+def test_bricks_share_global_cube(built):
+    """Brick voxels decode to world positions inside their OWN brick's box —
+    proof the subtrees are embedded in one global octree domain."""
+    from simlod_tpu.render import raster
+    for i, b in enumerate(built.bricks):
+        st = built.resident_state(i)
+        emitted = jnp.ones(st.child_base.shape[0], bool)
+        s = raster.gather_voxel_samples(built.cfg, st, emitted, 1 << 18)
+        x = np.asarray(s.x)[np.asarray(s.valid)]
+        lo, hi = i * 1.0, i * 1.0 + 0.9
+        assert len(x) == b.vox_used
+        # voxel CENTERS of cells containing boundary points can stick out by
+        # one root-level cell (cube/128) on either side
+        cell = float(np.max(built.global_max - built.global_min)) / C.GRID_SIZE
+        assert x.min() >= lo - built.global_min[0] - cell
+        assert x.max() <= hi - built.global_min[0] + cell
+
+
+def test_composite_matches_manual(built):
+    """The composited frame equals a host-side depth-argmin select over the
+    per-brick component renders (associativity of the u64-min blend)."""
+    from simlod_tpu.render.render import render_components, composite_frames
+    W, H = 320, 200
+    u = built.uniforms(W, H)
+    rcfg = built._render_cfg()
+    comps = [render_components(rcfg, built.resident_state(i), W, H, u,
+                               1 << 17, rcfg.max_render_voxels, None, None)
+             for i in range(2)]
+    img, _ = built.render(W, H)
+    img = np.asarray(img).reshape(-1)
+    d = np.stack([np.asarray(c[1]) for c in comps])
+    c = np.stack([np.asarray(c[0]) for c in comps])
+    pick = np.argmin(d, axis=0)
+    manual = c[pick, np.arange(c.shape[1])]
+    np.testing.assert_array_equal(img, manual)
+    # both bricks actually contribute pixels
+    covered = d.min(axis=0) != C.DEPTH_INF_BITS
+    assert covered.any()
+    assert (pick[covered] == 0).any() and (pick[covered] == 1).any()
+
+
+def test_page_in_restores_points(built):
+    """Paging a brick back in makes its leaf points renderable again."""
+    st = built.page_in(0)
+    assert int(st.num_segments) == built.bricks[0].num_segments
+    assert int(st.pool_used) == built.bricks[0].pool_used
+    from simlod_tpu.render import raster
+    emitted = jnp.ones(st.child_base.shape[0], bool)
+    # window must cover points + 2*128 phase-pad rows per segment
+    s = raster.gather_point_samples(built.cfg, st, emitted, 1 << 18)
+    n_leaf_pts = int(np.asarray(st.num_points)[
+        np.asarray(st.child_base) < 0].sum())
+    assert int(np.asarray(s.valid).sum()) == n_leaf_pts > 0
+    # paging in brick 1 evicts brick 0's points again (one pool at a time)
+    built.page_in(1)
+    assert built._paged_in == 1
+    assert 0 not in built._resident or int(
+        built._resident[0].pool_used) == 0
