@@ -53,6 +53,11 @@ def parse_args(argv=None):
                     help="run the bottom-up voxel color filter after loading "
                          "(the reference's disabled colorfilter pass, enabled here)")
     ap.add_argument("--json", action="store_true", help="print stats as JSON")
+    ap.add_argument("--serve", action="store_true",
+                    help="serve an interactive viewer over HTTP (browser orbit "
+                         "controls; the headless stand-in for the reference's "
+                         "GLFW window, see viewer.py)")
+    ap.add_argument("--port", type=int, default=8642)
     return ap.parse_args(argv)
 
 
@@ -110,6 +115,11 @@ def main(argv=None) -> int:
         else:
             write_ppm(os.path.join(args.out, f"frame_{frame_idx:04d}.ppm"), img)
         frame_idx += 1
+
+    if args.serve:
+        from .viewer import ViewerServer
+        ViewerServer(eng, args.width, args.height, args.port).serve_forever()
+        return 0
 
     if n_frames == 0:
         while eng.ingest_next():
