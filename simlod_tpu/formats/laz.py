@@ -12,6 +12,7 @@ seekable per batch without the chunk table; the streaming loader pulls many
 """
 from __future__ import annotations
 
+import os
 import shutil
 import struct
 import subprocess
@@ -92,8 +93,18 @@ def _items_for_format(fmt: int, bpp: int):
     return types, sizes
 
 
-def _decode_file(path: str, hdr: las.LasHeader) -> np.ndarray:
-    """Decompress the whole file once -> raw LAS records [n, bpp] (cached)."""
+def _decode_file(path: str, hdr: las.LasHeader, workers: int | None = None
+                 ) -> np.ndarray:
+    """Decompress the whole file once -> raw LAS records [n, bpp] (cached).
+
+    LASzip chunks are independently coded (models + coder restart per chunk),
+    so with a decodable chunk table the decode fans out over a thread pool —
+    each worker runs the native decoder (GIL released by ctypes) on its own
+    contiguous chunk range. This is the same parallelism the reference gets
+    from 2xnCPU loader threads each running laszip on a different file region
+    (main_progressive_octree.cpp:811-958, ~30 MP/s LAZ per README.md:10 on a
+    16-core host; ~2-4 MP/s is the universal per-core arithmetic-decode rate).
+    """
     with _cache_lock:
         if path in _cache:
             return _cache[path]
@@ -109,15 +120,54 @@ def _decode_file(path: str, hdr: las.LasHeader) -> np.ndarray:
         f.seek(hdr.offset_to_points)
         data = np.frombuffer(f.read(), np.uint8)
     if compressor == 2:
-        data = data[8:]  # skip the chunk-table offset; we decode sequentially
+        table_abs = int(np.frombuffer(data[:8].tobytes(), "<i8")[0])
+        data = data[8:]
+        table_off = table_abs - hdr.offset_to_points - 8
+        rec = _decode_chunked(hdr, data, table_off, chunk_size, types, sizes,
+                              workers)
     else:
         chunk_size = 1 << 62  # pointwise: one chunk spanning the file
-    rec = native.laz_decode(data, hdr.num_points, chunk_size, types, sizes)
+        rec = native.laz_decode(data, hdr.num_points, chunk_size, types, sizes)
     with _cache_lock:
         if len(_cache) >= _CACHE_FILES:
             _cache.pop(next(iter(_cache)))
         _cache[path] = rec
     return rec
+
+
+def _decode_chunked(hdr, data, table_off, chunk_size, types, sizes,
+                    workers) -> np.ndarray:
+    from .. import native
+    n = hdr.num_points
+    nchunks = (n + chunk_size - 1) // chunk_size
+    csizes = None
+    if 0 < table_off <= len(data):
+        csizes = native.laz_chunk_table(data[table_off:], nchunks)
+        if csizes is not None and len(csizes) != nchunks:
+            csizes = None
+    workers = workers or min(nchunks, max(2, (os.cpu_count() or 1)))
+    if csizes is None or workers <= 1 or nchunks <= 1:
+        return native.laz_decode(data, n, chunk_size, types, sizes)
+    starts = np.zeros(nchunks + 1, np.int64)
+    np.cumsum(csizes, out=starts[1:])
+    rec_size = int(np.sum(sizes))
+    out = np.empty((n, rec_size), np.uint8)
+    per = (nchunks + workers - 1) // workers
+
+    def run(w):
+        c0 = w * per
+        c1 = min(c0 + per, nchunks)
+        if c0 >= c1:
+            return
+        p0 = c0 * chunk_size
+        npts = min(c1 * chunk_size, n) - p0
+        native.laz_decode_into(data[starts[c0]:starts[c1]], out[p0:p0 + npts],
+                               chunk_size, types, sizes)
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(run, range(workers)))
+    return out
 
 
 def read_points(path: str, first: int = 0, count: int | None = None,

@@ -108,6 +108,10 @@ def load_laz() -> ctypes.CDLL | None:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_long, ctypes.c_void_p,
         ctypes.c_long,
     ]
+    lib.laz_decode_chunk_table.restype = ctypes.c_long
+    lib.laz_decode_chunk_table.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+    ]
     _LAZ = lib
     return lib
 
@@ -132,6 +136,34 @@ def laz_decode(stream: np.ndarray, npoints: int, chunk_size: int,
     if r != 0:
         raise ValueError(f"laz decode failed ({r}): corrupt or unsupported stream")
     return out
+
+
+def laz_decode_into(stream: np.ndarray, out: np.ndarray, chunk_size: int,
+                    item_types, item_sizes) -> None:
+    """laz_decode writing into a caller-provided [npoints, rec_size] u8 view
+    (must be C-contiguous — a row slice of the full output array is)."""
+    lib = load_laz()
+    stream = np.ascontiguousarray(stream, np.uint8)
+    it = np.ascontiguousarray(item_types, np.uint16)
+    isz = np.ascontiguousarray(item_sizes, np.uint16)
+    assert out.flags.c_contiguous and out.dtype == np.uint8
+    r = lib.laz_decode(stream.ctypes.data, stream.size, out.ctypes.data,
+                       out.shape[0], chunk_size, it.ctypes.data,
+                       isz.ctypes.data, len(it), int(isz.sum()))
+    if r != 0:
+        raise ValueError(f"laz decode failed ({r}): corrupt or unsupported stream")
+
+
+def laz_chunk_table(table: np.ndarray, max_chunks: int) -> np.ndarray | None:
+    """Decode a LASzip chunk table -> per-chunk byte sizes (u32 [n]), or None
+    if the table is malformed. Chunks are independently coded, so the sizes
+    make the stream seekable (parallel decode in formats/laz.py)."""
+    lib = load_laz()
+    table = np.ascontiguousarray(table, np.uint8)
+    sizes = np.empty(max_chunks, np.uint32)
+    n = lib.laz_decode_chunk_table(table.ctypes.data, table.size,
+                                   sizes.ctypes.data, max_chunks)
+    return sizes[:n].copy() if n >= 0 else None
 
 
 def laz_encode(records: np.ndarray, chunk_size: int, item_types,

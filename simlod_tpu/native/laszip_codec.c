@@ -1154,6 +1154,33 @@ static void states_free(ItemStates *st) {
   memset(st, 0, sizeof *st);
 }
 
+/* Decode a LASzip chunk table (u32 version=0, u32 nchunks, IC(32,2)-coded
+ * byte sizes, each predicted from the previous — laszip's standard layout;
+ * laz_encode above writes the same). Fills sizes[0..n) with per-chunk byte
+ * counts; returns nchunks, or -1 on malformed input. Chunks are independently
+ * coded (every chunk restarts its models and coder), so a decoded table makes
+ * the stream seekable and the DECODE parallel: each worker runs laz_decode
+ * over its own contiguous chunk range (formats/laz.py fans this out across
+ * loader threads — the reference gets its ~30 MP/s LAZ rate the same way,
+ * many laszip readers on different file regions). */
+long laz_decode_chunk_table(const U8 *tab, long tab_len, U32 *sizes,
+                            long max_chunks) {
+  if (tab_len < 8) return -1;
+  U32 version = (U32)tab[0] | ((U32)tab[1] << 8) | ((U32)tab[2] << 16)
+      | ((U32)tab[3] << 24);
+  U32 nchunks = (U32)tab[4] | ((U32)tab[5] << 8) | ((U32)tab[6] << 16)
+      | ((U32)tab[7] << 24);
+  if (version != 0 || (long)nchunks > max_chunks) return -1;
+  Dec d;
+  dec_init(&d, tab + 8, tab + tab_len);
+  IC ic;
+  ic_init(&ic, 32, 2);
+  for (U32 i = 0; i < nchunks; i++)
+    sizes[i] = (U32)ic_decompress(&ic, &d, i ? (I32)sizes[i - 1] : 0, 1);
+  ic_free(&ic);
+  return (long)nchunks;
+}
+
 /* Decode `npoints` records of `rec_size` bytes.  `item_types`/`item_sizes`
  * describe the LASzip items (from the LASzip VLR).  `in` points at the first
  * chunk (AFTER the 8-byte chunk table offset).  Returns 0 on success. */
