@@ -219,7 +219,7 @@ class Engine:
         self.ingest_chunk(item)
         return True
 
-    def load_all(self, poll_every: int = 4) -> None:
+    def load_all(self, poll_every: int | None = None) -> None:
         """Consume the entire stream (the reference's drag-drop load).
 
         Chunks are dispatched ASYNCHRONOUSLY: donation chains the device state
@@ -229,9 +229,19 @@ class Engine:
         overlap from its uploader thread + per-frame kernel relaunch,
         main_progressive_octree.cpp:963-1063). The host only synchronizes every
         `poll_every` chunks for the capacity poll (each poll drains the device
-        queue; the stream keeps decoding in its own threads meanwhile)."""
+        queue; the stream keeps decoding in its own threads meanwhile).
+
+        poll_every=None picks the depth from the STATE SIZE: on the tunneled
+        runtime every queued-ahead dispatch of a multi-GB donated state was
+        measured to stall ~state_bytes/0.46 GB/s (the runtime copies the state
+        per in-flight dispatch instead of donating in place), so big states cap
+        the queue at one chunk ahead — still overlapped with host decode, never
+        stacked."""
         if self.stream is None:
             return
+        if poll_every is None:
+            state_bytes = sum(a.nbytes for a in jax.tree.leaves(self.state))
+            poll_every = 1 if state_bytes > (1 << 30) else 4
         t0 = time.perf_counter()
         chunks = 0
         for item in self._stream_iter:
