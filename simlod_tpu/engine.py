@@ -157,6 +157,7 @@ class Engine:
         box = self.stream.box_max - self.stream.box_min
         self.reset(np.zeros(3, np.float32), box.astype(np.float32))
         self._stream_iter = iter(self.stream)
+        self._consumed_chunks = 0
         return self.stream
 
     # --- construction ---
@@ -212,6 +213,7 @@ class Engine:
         if item is None:
             self.last_batch_finished = True
             return False
+        self._consumed_chunks = getattr(self, "_consumed_chunks", 0) + 1
         if isinstance(item[4], (int, np.integer)):   # chunk_steps == 1 stream
             x, y, z, rgba, count = item
             self.ingest(x, y, z, rgba, count)
@@ -219,30 +221,61 @@ class Engine:
         self.ingest_chunk(item)
         return True
 
-    def load_all(self, poll_every: int | None = None) -> None:
+    def load_all(self, poll_every: int | None = None,
+                 bulk: bool | None = None) -> None:
         """Consume the entire stream (the reference's drag-drop load).
 
-        Chunks are dispatched ASYNCHRONOUSLY: donation chains the device state
-        so successive build_many dispatches queue back-to-back, and the host
-        returns to the stream immediately — decode/stack/device_put of chunk
-        k+1 overlap the device building chunk k (the reference gets the same
-        overlap from its uploader thread + per-frame kernel relaunch,
-        main_progressive_octree.cpp:963-1063). The host only synchronizes every
-        `poll_every` chunks for the capacity poll (each poll drains the device
-        queue; the stream keeps decoding in its own threads meanwhile).
+        BULK path (default whenever the whole file fits the point pool): stage
+        the decoded stream on the device FIRST — the loader/uploader threads
+        decode and `device_put` [K, B] chunk planes with NO build dispatch in
+        flight — then concatenate on device and ingest everything with ONE
+        build_many dispatch. This deliberately matches the measured-fast
+        device-resident shape: on the tunneled runtime, every extra dispatch of
+        the multi-GB donated state was measured to stall ~state_bytes/0.46 GB/s
+        (the runtime copies the state per dispatch when transfers or other
+        dispatches are in flight), which collapsed the per-chunk streamed load
+        to <1 MP/s while the identical build fed device-resident ran 13+ MP/s.
+        The reference gets its overlap from an uploader thread + per-frame
+        kernel relaunch (main_progressive_octree.cpp:963-1063); here the H2D
+        transfers overlap host decode instead, and the device runs once.
 
-        poll_every=None picks the depth from the STATE SIZE: on the tunneled
-        runtime every queued-ahead dispatch of a multi-GB donated state was
-        measured to stall ~state_bytes/0.46 GB/s (the runtime copies the state
-        per in-flight dispatch instead of donating in place), so big states cap
-        the queue at one chunk ahead — still overlapped with host decode, never
-        stacked."""
+        CHUNKED fallback (bulk=False, or stream already partially consumed, or
+        the file exceeds the point pool): per-chunk dispatches, synchronizing
+        every `poll_every` chunks for the capacity poll."""
         if self.stream is None:
+            return
+        t0 = time.perf_counter()
+        if bulk is None:
+            bulk = (getattr(self, "_consumed_chunks", 0) == 0
+                    and self.stream.total_points <= self.cfg.point_capacity)
+        if bulk:
+            items = list(self._stream_iter)
+            self.last_batch_finished = True
+            if items:
+                planes = []
+                for it in items:
+                    if isinstance(it[4], (int, np.integer)):  # chunk_steps == 1
+                        planes.append(tuple(a[None] for a in it[:4])
+                                      + (np.asarray([it[4]], np.int32),))
+                    else:
+                        planes.append(it[:4] + (np.asarray(it[4], np.int32),))
+                if len(planes) == 1:
+                    bx, by, bz, bc, counts = planes[0]
+                else:
+                    bx, by, bz, bc, counts = (
+                        jnp.concatenate([p[i] for p in planes])
+                        for i in range(5))
+                self.state = build.build_many(self.cfg, self.state, bx, by, bz,
+                                              bc, jnp.asarray(counts, jnp.int32))
+                del items, planes
+                self._maybe_compact(poll=True)
+            jax.block_until_ready(self.state.num_nodes)
+            self._steps_since_poll = 0
+            self.t_build.add(time.perf_counter() - t0)
             return
         if poll_every is None:
             state_bytes = sum(a.nbytes for a in jax.tree.leaves(self.state))
             poll_every = 1 if state_bytes > (1 << 30) else 4
-        t0 = time.perf_counter()
         chunks = 0
         for item in self._stream_iter:
             if isinstance(item[4], (int, np.integer)):
@@ -404,6 +437,7 @@ class Engine:
                 if item is None:
                     self.last_batch_finished = True
                     break
+                self._consumed_chunks = getattr(self, "_consumed_chunks", 0) + 1
                 items.append(item)
         if not items:
             return self.render(width, height)

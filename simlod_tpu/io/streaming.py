@@ -115,7 +115,11 @@ class PointStream:
                 self._batches.append(BatchRef(e, first, cnt))
         self._batch_lock = threading.Lock()
 
-        n_loaders = num_loaders or max(2, 2 * (os.cpu_count() or 1))
+        # ONE loader per core, not the reference's 2x (IO latency is hidden by
+        # the page cache here, so loading is CPU/GIL-bound: on a 1-core host,
+        # 2 loader threads measured 5.8 MP/s vs 41.5 MP/s with 1 — GIL
+        # ping-pong between decode threads swamps the pipeline)
+        n_loaders = num_loaders or max(1, os.cpu_count() or 1)
         self._loaded: queue.Queue = queue.Queue(maxsize=max(4, ring_slots))
         self._ready: queue.Queue = queue.Queue(maxsize=ring_slots)  # backpressure
         self._stop = threading.Event()

@@ -57,7 +57,11 @@ CHUNK = 512          # samples processed per kernel inner iteration
 #  boundary-chunk duplication at n_tiles ~ 8k overtakes; scripts/raster_tpu_check.py)
 NCI = 4              # i32 input columns per sample: flags|pixel, depth bits,
                      # color, zero pad (Mosaic DMA slices align sublanes to 4)
-NC = 16              # bf16 value rows per sample (12 used, padded to one 16-row group)
+NC = 8               # bf16 value rows per sample, shared by both shading modes
+                     # via mode-selected weights (HQS: rgb*am + count + winner
+                     # depth bytes; plain: winner color bytes + winner depth
+                     # bytes) — half the VPU/matmul width of carrying both
+                     # modes' rows side by side
 NBUF = 4             # chunk DMA pipeline depth
 # flag bits riding the pixel word (pixel ids stay below 2^28: a 33M-pixel
 # framebuffer overflows the tile-id limit long before this)
@@ -126,22 +130,27 @@ def _make_kernel(tile: int, chunk: int):
             hi_i = lpix >> 7
             oh_lo = (lo_i[None, :] == lo_iota).astype(jnp.bfloat16)  # [128, chunk]
 
+            hq = mode_ref[0] == 1
             amf = am.astype(jnp.bfloat16)
             wf = win.astype(jnp.bfloat16)
+            # mode-selected weights: color rows accumulate `am`-weighted bytes
+            # in HQS, the single winner's bytes in plain; row 3 is the HQS
+            # count / the plain winner's alpha byte; row 7 carries the last
+            # depth byte biased +1 in plain (0..256 are all exact in bf16) so
+            # it doubles as plain's coverage flag — colors can't (color_white
+            # mode has alpha 0), and exactly ONE winner flags per pixel
+            cw = jnp.where(hq, amf, wf)
 
             def byte(v, k):  # bytes <= 255 are exact in bf16
                 return ((v >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
 
-            zero = jnp.zeros((chunk,), jnp.bfloat16)
             rows = [
-                byte(col, 0) * amf, byte(col, 1) * amf,
-                byte(col, 2) * amf, amf,
-                byte(db, 0) * wf, byte(db, 1) * wf,
-                byte(db, 2) * wf, byte(db, 3) * wf,
-                byte(col, 0) * wf, byte(col, 1) * wf,
-                byte(col, 2) * wf, byte(col, 3) * wf,
+                byte(col, 0) * cw, byte(col, 1) * cw, byte(col, 2) * cw,
+                jnp.where(hq, amf, byte(col, 3) * wf),
+                byte(db, 0) * wf, byte(db, 1) * wf, byte(db, 2) * wf,
+                (byte(db, 3) + jnp.where(hq, jnp.bfloat16(0),
+                                         jnp.bfloat16(1))) * wf,
             ]
-            rows += [zero] * (NC - len(rows))
             vals16 = jnp.stack(rows)                              # [NC, chunk]
             exp = jnp.concatenate(
                 [jnp.where(hi_i[None, :] == h, vals16, jnp.bfloat16(0))
@@ -167,21 +176,24 @@ def _make_kernel(tile: int, chunk: int):
         # [h*rows_per_h, ...) — no [128, H, NC] transpose needed
         for h in range(H):
             st = state_vmem[:, h * NC:(h + 1) * NC]               # [128, NC]
-            cnt = st[:, 3]
-            covered = cnt > 0.0
-            cntf = jnp.maximum(cnt, 1.0)
 
             def b8(i):  # exact byte plane -> u32 (each cell: exactly one winner)
                 return st[:, i].astype(jnp.int32).astype(jnp.uint32) \
                     & jnp.uint32(0xFF)
 
+            cnt = st[:, 3]
+            covered = jnp.where(hqs, cnt > 0.0, st[:, 7] > 0.0)
+            cntf = jnp.maximum(cnt, 1.0)
             hq_color = (q8(st[:, 0] / cntf)
                         | (q8(st[:, 1] / cntf) << 8)
                         | (q8(st[:, 2] / cntf) << 16)
                         | jnp.uint32(0xFF000000))
-            pl_color = b8(8) | (b8(9) << 8) | (b8(10) << 16) | (b8(11) << 24)
+            pl_color = b8(0) | (b8(1) << 8) | (b8(2) << 16) | (b8(3) << 24)
             color = jnp.where(hqs, hq_color, pl_color)
-            dbits = (b8(4) | (b8(5) << 8) | (b8(6) << 16) | (b8(7) << 24)) \
+            db3 = jnp.where(hqs, b8(7),
+                            (st[:, 7].astype(jnp.int32) - 1).astype(jnp.uint32)
+                            & jnp.uint32(0xFF))
+            dbits = (b8(4) | (b8(5) << 8) | (b8(6) << 16) | (db3 << 24)) \
                 .astype(jnp.int32)
             color_out[h * rows_per_h:(h + 1) * rows_per_h, :] = \
                 jnp.where(covered, color, bg).reshape(rows_per_h, lanes)

@@ -110,6 +110,22 @@ def test_load_all_async_matches_sync(cloud_file):
         assert ra[k] == rs[k], k
 
 
+def test_load_all_bulk_matches_chunked(cloud_file):
+    # the bulk path (stage-all -> one build_many dispatch) must build the
+    # exact same tree as per-chunk dispatching
+    eng_b = Engine(CFG, Settings())
+    eng_b.open([cloud_file])
+    eng_b.load_all(bulk=True)
+    assert eng_b.last_batch_finished
+    eng_c = Engine(CFG, Settings())
+    eng_c.open([cloud_file])
+    eng_c.load_all(bulk=False)
+    rb, rc = eng_b.report(), eng_c.report()
+    for k in ("num_nodes", "num_points", "num_points_processed",
+              "num_voxels"):
+        assert rb[k] == rc[k], k
+
+
 def test_load_all_halts_on_capacity(tmp_path, rng):
     # ADVICE r2: the cached capacity flag must actually stop load_all (the
     # reference treats memCapacityReached as end of load, :1216-1219)
