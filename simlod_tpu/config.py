@@ -83,24 +83,18 @@ class EngineConfig:
                                           # (reference clamps at 400, rasterization.cuh:149)
     max_point_size: int = 1               # static unroll bound for settings.point_size
 
-    # Per-step voxel-candidate buffer, as a multiple of step_points. Worst case is one
-    # candidate per point per ancestor level (max_depth+1); after in-batch first-in-cell
-    # dedup a small factor suffices for real data. Overflow drops tail candidates
-    # TRANSIENTLY (counted in num_candidates_dropped; the cells reappear with later
-    # batches).
+    # Kept for config compatibility; the round-major candidate emission has no
+    # output expansion window any more (build.batch_voxel_candidates), so this
+    # no longer sizes anything.
     candidate_factor: int = 3
-    # Rows of the batch allowed to emit candidates at MULTIPLE levels per step (the
-    # narrow ragged-expansion window in build.batch_voxel_candidates; single-level
-    # emitters — the vast majority on scan-ordered data — bypass expansion entirely).
-    # 0 = auto (step_points // 4). Overflow drops tail candidates transiently.
-    cand_multi_rows: int = 1 << 18        # class-sorted rows sliced for multi-level
-                                          # emitters (0 = batch/4; overflow transient)
-    cand_multi_window: int = 1 << 20      # multi-level candidate expansion rows per
-                                          # step. Sized to cover steady-state cell
-                                          # opening (~0.5 M/step on the 16M bench);
-                                          # a too-small window drops candidates that
-                                          # only "reappear" if later batches revisit
-                                          # the cell — watch num_candidates_dropped
+    # Rows of the batch allowed to emit candidates at MULTIPLE levels per step
+    # (the cnt-descending block window in build.batch_voxel_candidates;
+    # single-level emitters — the vast majority on scan-ordered data — emit in
+    # place with no block slice). 0 = auto (batch/4). A too-small window drops
+    # candidates that only "reappear" if later batches revisit the cell —
+    # watch num_candidates_dropped (the engine auto-doubles this under
+    # sustained drops).
+    cand_multi_rows: int = 1 << 18
 
     # Voxel-store lazy-dedup compaction trigger: compact when the store holds more
     # than this fraction of voxel_capacity (near-capacity-only policy; renders

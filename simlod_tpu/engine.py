@@ -349,8 +349,7 @@ class Engine:
             self.cfg,
             cand_multi_rows=min(2 * (self.cfg.cand_multi_rows
                                      or self.cfg.step_points // 4),
-                                self.cfg.step_points),
-            cand_multi_window=2 * self.cfg.cand_multi_window)
+                                self.cfg.step_points))
 
     def filter_colors(self) -> None:
         """Bottom-up voxel color filtering (reference colorfilter.cu; see

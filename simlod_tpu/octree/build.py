@@ -802,21 +802,25 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work,
     # lo/cnt (< 32 each: bounded by FULL_GRID_BITS) ride the key's low bits —
     # order within a class is free, and fewer payload columns is direct sort
     # traffic saved. When the node pool fits 19 bits the emitting leaf rides
-    # the key too (cls 2b | leaf 19b | lo 5b | cnt 5b = 31b): one less column
-    # is ~1.5 ms at the 2.75M-row bench width.
+    # the key too (cls 2b | inv-cnt 5b | leaf 19b | lo 5b = 31b): one less
+    # column is ~1.5 ms at the 2.75M-row bench width. cnt sorts INVERTED right
+    # after cls so the multi block comes out cnt-DESCENDING — the round-major
+    # emission below depends on it.
+    inv_cnt = 31 - cnt
     if cfg.node_capacity <= (1 << 19):
         safe_leaf = jnp.clip(leaf, 0, (1 << 19) - 1)
-        ckey = (cls << 29) | (safe_leaf << 10) | (lo << 5) | cnt
+        ckey = (cls << 29) | (inv_cnt << 24) | (safe_leaf << 5) | lo
         skey, sw0, sw1, sw2, srgba = jax.lax.sort(
             (ckey, w0, w1, w2, rgba_i), num_keys=1, is_stable=False)
-        sleaf = (skey >> 10) & ((1 << 19) - 1)
+        sleaf = (skey >> 5) & ((1 << 19) - 1)
+        scnt = 31 - ((skey >> 24) & 31)
     else:
-        ckey = (cls << 10) | (lo << 5) | cnt
+        ckey = (cls << 10) | (inv_cnt << 5) | lo
         skey, sw0, sw1, sw2, sleaf, srgba = jax.lax.sort(
             (ckey, w0, w1, w2, leaf, rgba_i),
             num_keys=1, is_stable=False)
-    slo = (skey >> 5) & 31
-    scnt = skey & 31
+        scnt = 31 - ((skey >> 5) & 31)
+    slo = skey & 31
     n_single = jnp.sum((cls == 0).astype(jnp.int32))
     n_multi = jnp.sum((cls == 1).astype(jnp.int32))
 
@@ -829,70 +833,55 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work,
         cfg, state, k0, k1, k2l, sleaf,
         jax.lax.bitcast_convert_type(srgba, jnp.uint32), n_single)
 
-    # --- multi-level emitters: a G2W-row slice starting at n_single, ragged-
-    # expanded into a CC2-wide window (both far narrower than the batch) ---
+    # --- multi-level emitters: round-major prefix appends ---
+    # The class key sorts the multi block cnt-DESCENDING, so the cells still
+    # active at round r (cnt > r) are EXACTLY the first k_r rows of the block.
+    # Round r appends every active cell's level-(lo + r) key: one prefix
+    # append per round, no per-output source mapping at all. This replaces the
+    # ragged expansion (src scatter ~20 ns x G2W attempted rows + CCS-wide
+    # cummax + 7-column row gather ~7 ns/row — together ~13 ms/2M step) with
+    # max(cnt) rounds of G2W-wide elementwise work, and retires the CCS/CC2
+    # output windows and their overflow drop mode: only cells past the G2W
+    # block window can drop now (transient, counted, engine-adaptive).
     G2W = min(W2, cfg.cand_multi_rows or max(W2 // 4, 1024))
-    # full expansion budget (worst case ~ candidate_factor x batch / 3) and the
-    # steady-state window: cell opening runs ~0.5 M cells per 2M step on the
-    # 16M bench, so the small tier must cover that — the big tier's src scatter
-    # + 7-wide row gather (~25 ms at 2M) is paid only on early/fresh-region
-    # steps where the opening rate spikes past it
-    CC2 = max((cfg.candidate_factor * W2) // 3, 1024)
-    st_ = jnp.minimum(n_single, W2 - G2W)  # dynamic_slice clamp, made explicit
     grow = jnp.arange(G2W, dtype=jnp.int32)
-    in_multi = (st_ + grow >= n_single) & (st_ + grow < n_single + n_multi)
-    ds = lambda a: jax.lax.dynamic_slice(a, (st_,), (G2W,))
+    # G2W zero-pad so the block slice never start-clamps (n_single > W2 - G2W
+    # is common on scan-ordered data where most emitters are single-level)
+    pz = lambda a: jnp.concatenate([a, jnp.zeros((G2W,), a.dtype)])
+    ds = lambda a: jax.lax.dynamic_slice(pz(a), (n_single,), (G2W,))
     mw0, mw1, mw2 = ds(sw0), ds(sw1), ds(sw2)
-    mleaf, mrgba, mlo = ds(sleaf), ds(srgba), ds(slo)
-    ecnt = jnp.where(in_multi, ds(scnt), 0)
-    offs2 = exclusive_cumsum(ecnt)
+    mleaf, mlo = ds(sleaf), ds(slo)
+    mrgba = jax.lax.bitcast_convert_type(ds(srgba), jnp.uint32)
+    ecnt = jnp.where(grow < n_multi, ds(scnt), 0)
     total2 = jnp.sum(ecnt)
-    table = jnp.stack([mw0, mw1, mw2, mleaf, mrgba, mlo, offs2], axis=-1)
+    max_cnt = jnp.max(ecnt)
 
-    def expand(W: int, base):
-        """Expand emission cells [base, base + W) of the flat multi-level cell
-        stream into per-cell rows ((key words), leaf, rgba, n)."""
-        src_mark = jnp.full((W,), -1, jnp.int32).at[
-            jnp.where((ecnt > 0) & (offs2 + ecnt > base),
-                      jnp.clip(offs2 - base, 0, W), W)].max(grow, mode="drop")
-        src = jnp.maximum(jax.lax.cummax(src_mark), 0)
-        j = jnp.arange(W, dtype=jnp.int32) + base
-        srow = table[src]
-        lvl2 = srow[:, 5] + (j - srow[:, 6])  # lo + offset within the range
-        ek0, ek1, ek2l = morton.key_words_at_level(
-            srow[:, 0], srow[:, 1], srow[:, 2], lvl2)
-        n = jnp.clip(total2 - base, 0, W)
-        return ek0, ek1, ek2l, srow[:, 3], srow[:, 4], n
+    def _round(carry):
+        r, vk0, vk1, vk2l, vnode, vrgba, vused, memf = carry
+        k_r = jnp.sum((ecnt > r).astype(jnp.int32))
+        ek0, ek1, ek2l = morton.key_words_at_level(mw0, mw1, mw2, mlo + r)
+        room = jnp.maximum(cfg.voxel_capacity - vused, 0)
+        n_new = jnp.minimum(k_r, room)
+        dus = jax.lax.dynamic_update_slice
+        return (r + 1,
+                dus(vk0, ek0, (vused,)), dus(vk1, ek1, (vused,)),
+                dus(vk2l, ek2l, (vused,)), dus(vnode, mleaf, (vused,)),
+                dus(vrgba, mrgba, (vused,)),
+                vused + n_new, memf | (k_r > room))
 
-    # two-tier expansion: the small window covers the steady-state opening
-    # rate; the big (full-budget) window rides a cond that only fires when a
-    # step opens more cells than that
-    CCS = max(min(CC2, cfg.cand_multi_window), 1024)
-    ek0, ek1, ek2l, eleaf, ergba, n_emit2 = expand(CCS, jnp.int32(0))
-    state = _append_voxels_prefix(
-        cfg, state, ek0, ek1, ek2l, eleaf,
-        jax.lax.bitcast_convert_type(ergba, jnp.uint32), n_emit2)
+    (_, state.vox_k0, state.vox_k1, state.vox_k2l, state.vox_node,
+     state.vox_rgba, state.vox_used, state.mem_capacity_reached) = \
+        jax.lax.while_loop(
+            lambda c: c[0] < max_cnt, _round,
+            (jnp.int32(0), state.vox_k0, state.vox_k1, state.vox_k2l,
+             state.vox_node, state.vox_rgba, state.vox_used,
+             state.mem_capacity_reached))
 
-    def heavy(_):
-        return expand(CC2, jnp.int32(CCS))
-
-    def light(_):
-        # derive zeros from a batch value so the varying-axes type matches the
-        # heavy branch under shard_map (vma typing, cf. no_spill)
-        z = jnp.zeros((CC2,), jnp.int32) + (total2 & 0)
-        return z, z, z, z, z, jnp.zeros_like(total2)
-
-    bk0, bk1, bk2l, bleaf, brgba, n_emit2b = jax.lax.cond(
-        total2 > CCS, heavy, light, 0)
-    state = _append_voxels_prefix(
-        cfg, state, bk0, bk1, bk2l, bleaf,
-        jax.lax.bitcast_convert_type(brgba, jnp.uint32), n_emit2b)
-
-    # overflow (multi rows past G2W, or expansion past CCS + CC2) is TRANSIENT:
-    # dropped candidates reappear with later batches in the same cells
-    # (lazy first-come dedup tolerates omission, unlike pool exhaustion)
+    # overflow (multi rows past the G2W block window) is TRANSIENT: dropped
+    # candidates reappear with later batches in the same cells (lazy
+    # first-come dedup tolerates omission, unlike pool exhaustion)
     state.num_candidates_dropped = state.num_candidates_dropped + \
-        jnp.maximum(total - n_single - n_emit2 - n_emit2b, 0)
+        jnp.maximum(total - n_single - total2, 0)
     return state
 
 

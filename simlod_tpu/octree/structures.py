@@ -180,16 +180,16 @@ def _cand_capacity(cfg: EngineConfig) -> int:
     (vox_used itself never exceeds cfg.voxel_capacity)."""
     from ..ops import ragged
     spill_window = ragged.window_for(cfg.spill_capacity, cfg.seg_select_cap)
-    # append windows: single-level candidates and the runtime CC2 expansion are
-    # full Work-width (batch + interleaved boundary junk, build.Work), NOT
-    # step_points wide — undersizing here lets near-capacity appends clamp the
-    # dynamic_update_slice start and overwrite committed store rows (ADVICE r2)
+    # append windows: the single-level candidate append is full Work-width
+    # (batch + interleaved boundary junk, build.Work), NOT step_points wide —
+    # undersizing here lets near-capacity appends clamp the
+    # dynamic_update_slice start and overwrite committed store rows (ADVICE
+    # r2). The round-major multi-level appends are G2W wide (<= cand_width).
     work_width = cfg.step_points + min(cfg.boundary_window, cfg.node_capacity)
     # spilled rows ride the same class-sorted emission as the batch, so the
     # candidate stream (and its append windows) is work + spill wide
     cand_width = work_width + spill_window
-    cc2 = max((cfg.candidate_factor * cand_width) // 3, 1024)
-    return max(cand_width, cc2, spill_window) + 256
+    return max(cand_width, spill_window) + 256
 
 
 def node_min_size(state: OctreeState, ids=None):

@@ -31,12 +31,12 @@ def test_engine_bumps_windows_under_sustained_drops():
     windows must trigger the auto-upsize; the bumped windows then drop less
     per step than the starved ones did."""
     rng = np.random.default_rng(3)
-    starved = _cfg(cand_multi_rows=256, cand_multi_window=1024)
+    starved = _cfg(cand_multi_rows=256)
     eng = Engine(starved)
     eng.reset(np.zeros(3, np.float32), np.ones(3, np.float32))
     _feed(eng, rng, 8)   # two poll intervals
     assert eng._cand_bumps >= 1
-    assert eng.cfg.cand_multi_window > starved.cand_multi_window
+    assert eng.cfg.cand_multi_rows > starved.cand_multi_rows
 
     # fresh engines at both sizes, same data: the bumped window drops less
     rng_a, rng_b = np.random.default_rng(7), np.random.default_rng(7)
