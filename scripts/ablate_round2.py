@@ -108,9 +108,9 @@ def main():
         soff = st.seg_off[ssafe]
         snode = jnp.where(sv, st.seg_node[ssafe], 0)
         rplan = ragged.plan(soff, scnt, SPW)
-        gx = ragged.gather_column(rplan, st.pt_x)
-        gy = ragged.gather_column(rplan, st.pt_y)
-        gz = ragged.gather_column(rplan, st.pt_z)
+        gx = ragged.gather_column(rplan, st.pt_w0)
+        gy = ragged.gather_column(rplan, st.pt_w1)
+        gz = ragged.gather_column(rplan, st.pt_w2)
         gqx, gqy, gqz = morton.quantize_cols(gx, gy, gz, st.box_min, st.cube_size)
         glvl = st.level[snode][rplan.seg_of]
         pfx, pfy, pfz = morton.prefix_at_level(gqx, gqy, gqz, glvl)

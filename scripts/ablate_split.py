@@ -57,7 +57,7 @@ def main():
     def chk(st):
         return (st.num_nodes + st.vox_used + st.pool_used + st.num_segments
                 + jnp.sum(st.counter) + jnp.sum(st.vox_node[:1024])
-                + st.pt_x[:1024].sum().astype(jnp.int32))
+                + st.pt_w0[:1024].sum())
 
     J = lambda f: functools.partial(jax.jit, static_argnums=0)(f)
 

@@ -63,11 +63,11 @@ class Work(NamedTuple):
     ever sit at leaf-run starts — every run's valid rows are one contiguous
     stretch, which insert_points exploits (junk between runs becomes bounded
     pool waste, tracked in state.pool_waste)."""
-    x: jax.Array        # [BW] f32
-    y: jax.Array
-    z: jax.Array
+    w0: jax.Array       # [BW] i32 full Morton words (84-bit position identity;
+    w1: jax.Array       # positions reconstruct via morton.decode +
+    w2: jax.Array       # dequantize_cols — no float columns ride the sorts)
     rgba: jax.Array     # [BW] u32
-    qx: jax.Array       # [BW] i32 quantized (28-bit)
+    qx: jax.Array       # [BW] i32 quantized (28-bit), decoded from the words
     qy: jax.Array
     qz: jax.Array
     leaf: jax.Array     # [BW] i32 current target leaf
@@ -120,7 +120,7 @@ def route(cfg: EngineConfig, state: OctreeState, x: jax.Array, y: jax.Array,
 
     qx, qy, qz = morton.quantize_cols(x, y, z, state.box_min, state.cube_size)
     valid = jnp.arange(B, dtype=jnp.int32) < count
-    w0, w1, _ = morton.encode(qx, qy, qz)
+    w0, w1, w2 = morton.encode(qx, qy, qz)
     pk0 = jnp.where(valid, w0, mx)
     pk1 = jnp.where(valid, (w1 << 1) | 1, mx)
 
@@ -149,17 +149,18 @@ def route(cfg: EngineConfig, state: OctreeState, x: jax.Array, y: jax.Array,
                                                jnp.roll(sbp, 1), 0), 0)
     k0 = jnp.concatenate([pk0, sb0])
     k1 = jnp.concatenate([pk1, jnp.where(bvalid, sb1 << 1, mx)])
-    zf = jnp.zeros((W,), jnp.float32)
+    # positions ride as ONE payload column — the third Morton word (a node
+    # boundary's sub-level-20 octant bits are all zero); the full 84-bit
+    # position decodes from (k0, k1 >> 1, k2) after the sort. 4 sort columns
+    # instead of 6 (the f32 x/y/z columns are gone) is direct traffic saved.
+    k2 = jnp.concatenate([w2, jnp.zeros((W,), jnp.int32)])
     # rgba (point rows) and pack-delta (boundary rows) are mutually exclusive
     # per row, so ONE payload column carries both (~15% less sort traffic);
     # the flag bit of the sorted key separates them afterwards
     aux = jnp.concatenate([jax.lax.bitcast_convert_type(rgba, jnp.int32),
                            bdelta])
-    sk0, sk1, sx, sy, sz, saux = jax.lax.sort(
-        (k0, k1,
-         jnp.concatenate([x, zf]), jnp.concatenate([y, zf]),
-         jnp.concatenate([z, zf]), aux),
-        num_keys=2, is_stable=True)
+    sk0, sk1, sk2, saux = jax.lax.sort(
+        (k0, k1, k2, aux), num_keys=2, is_stable=True)
 
     is_pt = ((sk1 & 1) == 1) & (sk0 != mx)   # real points only (mx fill excluded)
     is_bnd = ((sk1 & 1) == 0) & (sk0 != mx)
@@ -172,10 +173,11 @@ def route(cfg: EngineConfig, state: OctreeState, x: jax.Array, y: jax.Array,
     # leaf field matches the points that follow them — run detection needs only
     # the valid mask (plus leaf-change for post-split adjacency).
     cpk = jnp.maximum(carried, 0)
-    cqx, cqy, cqz = morton.quantize_cols(sx, sy, sz, state.box_min, state.cube_size)
-    return state, Work(x=sx, y=sy, z=sz, rgba=sc, qx=cqx, qy=cqy, qz=cqz,
-                       leaf=cpk >> 5, lvl=cpk & 31, count=count, valid=is_pt,
-                       k0=sk0, k1=sk1)
+    sw1 = sk1 >> 1                       # flag stripped (junk rows: garbage)
+    cqx, cqy, cqz = morton.decode(sk0, sw1, sk2)
+    return state, Work(w0=sk0, w1=sw1, w2=sk2, rgba=sc, qx=cqx, qy=cqy,
+                       qz=cqz, leaf=cpk >> 5, lvl=cpk & 31, count=count,
+                       valid=is_pt, k0=sk0, k1=sk1)
 
 
 def compute_runs(cfg: EngineConfig, work: Work) -> Runs:
@@ -452,9 +454,12 @@ def split_loop(cfg: EngineConfig, state: OctreeState, work: Work):
         rvalid_g = rplan.valid
         memflag = memflag | (
             jnp.sum(rvalid_g.astype(jnp.int32)) != jnp.sum(scnt))
-        gx = ragged.gather_column(rplan, state.pt_x)
-        gy = ragged.gather_column(rplan, state.pt_y)
-        gz = ragged.gather_column(rplan, state.pt_z)
+        # the pool stores Morton words, so the gathered rows ARE the sort keys
+        # (no quantize/encode, and the spilled re-route is bit-exact vs the
+        # original ingest by construction)
+        gw0 = ragged.gather_column(rplan, state.pt_w0)
+        gw1 = ragged.gather_column(rplan, state.pt_w1)
+        gw2 = ragged.gather_column(rplan, state.pt_w2)
         gc = jax.lax.bitcast_convert_type(
             ragged.gather_column(rplan, jax.lax.bitcast_convert_type(
                 state.pt_rgba, jnp.float32)), jnp.uint32)
@@ -462,9 +467,6 @@ def split_loop(cfg: EngineConfig, state: OctreeState, work: Work):
         # gathered (~7 ns per gathered row on v5e; see docs/PERFORMANCE.md)
         glvl = ragged.broadcast_i32(rplan, snlvl)
         goff0 = ragged.broadcast_i32(rplan, soff)
-        gqx, gqy, gqz = morton.quantize_cols(gx, gy, gz, state.box_min,
-                                             state.cube_size)
-        gw0, gw1, gw2 = morton.encode(gqx, gqy, gqz)
         # 4-key sort (goff breaks cell ties deterministically: pool order =
         # arrival order, matching first-come voxel semantics); junk alignment
         # rows sort to the tail via MAX keys
@@ -776,7 +778,7 @@ def batch_voxel_candidates(cfg: EngineConfig, state: OctreeState, work: Work,
     cnt = jnp.where(valid, jnp.maximum(nlev - lo, 0), 0)
 
     rgba_i = jax.lax.bitcast_convert_type(work.rgba, jnp.int32).astype(jnp.int32)
-    w0, w1, w2 = morton.encode(work.qx, work.qy, work.qz)
+    w0, w1, w2 = work.w0, work.w1, work.w2   # route already carries the words
     leaf = work.leaf
     if spill_extra is not None:
         xw0, xw1, xw2, xleaf, xrgba, xlo, xcnt = spill_extra
@@ -910,9 +912,9 @@ def insert_points(cfg: EngineConfig, state: OctreeState, work: Work, runs: Runs)
     # pool append (one dynamic-update-slice; rows past new_span are garbage beyond
     # the watermark and are overwritten by later appends)
     dus = jax.lax.dynamic_update_slice
-    state.pt_x = dus(state.pt_x, work.x, (state.pool_used,))
-    state.pt_y = dus(state.pt_y, work.y, (state.pool_used,))
-    state.pt_z = dus(state.pt_z, work.z, (state.pool_used,))
+    state.pt_w0 = dus(state.pt_w0, work.w0, (state.pool_used,))
+    state.pt_w1 = dus(state.pt_w1, work.w1, (state.pool_used,))
+    state.pt_w2 = dus(state.pt_w2, work.w2, (state.pool_used,))
     state.pt_rgba = dus(state.pt_rgba, work.rgba, (state.pool_used,))
 
     # segments: one per leaf run (runs are ascending by row and each run's valid

@@ -93,13 +93,13 @@ def _filter_level(cfg: EngineConfig, state: OctreeState, vw: int, pw: int, sw: i
         & (state.child_base[seg_node_safe] < 0)
     pcnt = jnp.where(seg_sel, state.seg_cnt, 0)
     pseg, pelem, pvalid, _ = expand_segments(pcnt, pw)
-    p_cap = state.pt_x.shape[0]
+    p_cap = state.pt_w0.shape[0]
     pidx = jnp.where(pvalid, state.seg_off[pseg] + pelem, p_cap - 1)
-    pxyz = jnp.stack([state.pt_x[pidx], state.pt_y[pidx], state.pt_z[pidx]], -1)
     prgba = state.pt_rgba[pidx]
-    pq = morton.quantize(pxyz, state.box_min, state.cube_size)
+    # the pool stores Morton words: the level key masks them directly (exact —
+    # no float round trip)
     qk0, qk1, qk2l = morton.key_words_at_level(
-        *morton.encode(pq[:, 0], pq[:, 1], pq[:, 2]), lvl)
+        state.pt_w0[pidx], state.pt_w1[pidx], state.pt_w2[pidx], lvl)
     ppnode = state.parent[seg_node_safe[pseg]]
     pparent = jnp.where(pvalid, ppnode, n_cap)
 

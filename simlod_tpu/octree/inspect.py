@@ -49,6 +49,7 @@ def node_table(state: OctreeState) -> dict:
         for i in range(vu):
             vox_by_node.setdefault(int(s["vox_node"][i]), {}).setdefault(
                 int(cell[i]), int(s["vox_rgba"][i]))
+    pool_xyz = np.asarray(state.pt_xyz)  # decoded once (words -> cell centers)
     for i in range(n):
         spans = pts_by_node.get(i, [])
         idx = np.concatenate([np.arange(o, o + c) for (o, c) in spans]) \
@@ -62,8 +63,7 @@ def node_table(state: OctreeState) -> dict:
             counter=int(s["counter"][i]),
             num_points=int(s["num_points"][i]),
             num_voxels=int(s["num_voxels"][i]),
-            points_xyz=np.stack([s["pt_x"][idx], s["pt_y"][idx],
-                                 s["pt_z"][idx]], -1),
+            points_xyz=pool_xyz[idx],
             points_rgba=s["pt_rgba"][idx],
             voxels=vox_by_node.get(i, {}),
         )

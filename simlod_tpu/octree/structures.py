@@ -63,9 +63,16 @@ class OctreeState:
     num_nodes: jax.Array       # i32 scalar watermark
 
     # --- point pool (1-D columns; see ops/ragged.py for why not [P,4]) ---
-    pt_x: jax.Array            # f32 [point_capacity + pad]
-    pt_y: jax.Array
-    pt_z: jax.Array
+    # Positions are stored as the three 28-bit-per-axis Morton WORDS, not
+    # floats: the words are exactly the route/spill sort keys and the voxel
+    # key prefixes, so spilled points re-route bit-identically with zero
+    # re-quantization, and the route sort carries one word column instead of
+    # three f32 columns. World positions reconstruct via morton.decode +
+    # morton.dequantize_cols (cell centers; finer than f32 resolution over
+    # most of the cube — see dequantize_cols).
+    pt_w0: jax.Array           # i32 [point_capacity + pad] Morton word 0
+    pt_w1: jax.Array           # i32 word 1
+    pt_w2: jax.Array           # i32 word 2
     pt_rgba: jax.Array         # u32
     pool_used: jax.Array       # i32 scalar watermark
     pool_waste: jax.Array      # i32 scalar: junk rows appended between segments
@@ -110,10 +117,16 @@ class OctreeState:
     num_candidates_dropped: jax.Array  # i32
     mem_capacity_reached: jax.Array  # bool
 
+    def pt_positions(self):
+        """Decoded world positions (x, y, z) f32 columns (not hot-path)."""
+        from ..ops import morton
+        qx, qy, qz = morton.decode(self.pt_w0, self.pt_w1, self.pt_w2)
+        return morton.dequantize_cols(qx, qy, qz, self.box_min, self.cube_size)
+
     @property
     def pt_xyz(self) -> jax.Array:
         """[P,3] view for host-side inspection/tests (materializes; not hot-path)."""
-        return jnp.stack([self.pt_x, self.pt_y, self.pt_z], axis=-1)
+        return jnp.stack(self.pt_positions(), axis=-1)
 
 
 def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
@@ -148,9 +161,9 @@ def init_state(cfg: EngineConfig, box_min, box_max) -> OctreeState:
         num_nodes=jnp.asarray(1, i32),
         b_key0=zeros_n(), b_key1=zeros_n(), b_pack=zeros_n(),
         num_boundaries=jnp.asarray(1, i32),  # the root leaf (keys 0,0; pack 0)
-        pt_x=jnp.zeros((p_cap,), jnp.float32),
-        pt_y=jnp.zeros((p_cap,), jnp.float32),
-        pt_z=jnp.zeros((p_cap,), jnp.float32),
+        pt_w0=jnp.zeros((p_cap,), jnp.int32),
+        pt_w1=jnp.zeros((p_cap,), jnp.int32),
+        pt_w2=jnp.zeros((p_cap,), jnp.int32),
         pt_rgba=jnp.zeros((p_cap,), jnp.uint32),
         pool_used=jnp.asarray(0, i32),
         pool_waste=jnp.asarray(0, i32),

@@ -74,6 +74,23 @@ def quantize_cols(x, y, z, box_min, cube_size, bits: int = C.FULL_GRID_BITS):
     return qx, qy, qz
 
 
+def dequantize_cols(qx, qy, qz, box_min, cube_size,
+                    bits: int = C.FULL_GRID_BITS):
+    """Cell-center float positions of quantized grid coords (inverse of
+    quantize_cols up to f32 rounding).
+
+    The point pool stores 28-bit Morton words, not floats (the words ARE the
+    routing/voxel keys, so spills re-route bit-exactly); consumers that need
+    world positions reconstruct them here. At 2^28 cells/axis the center is
+    finer than f32's own resolution over most of the cube, so nothing is lost
+    vs storing the original f32 coordinates."""
+    s = cube_size.astype(jnp.float32) / jnp.float32(1 << bits)
+    x = box_min[0] + (qx.astype(jnp.float32) + 0.5) * s
+    y = box_min[1] + (qy.astype(jnp.float32) + 0.5) * s
+    z = box_min[2] + (qz.astype(jnp.float32) + 0.5) * s
+    return x, y, z
+
+
 def encode(qx: jnp.ndarray, qy: jnp.ndarray, qz: jnp.ndarray):
     """Interleave 28-bit per-axis coords into 3 lexicographic int32 Morton words.
 

@@ -42,7 +42,7 @@ from .render.render import composite_frames, render_components
 _NODE_COLS = ("child_base", "parent", "level", "nx", "ny", "nz", "counter",
               "num_points", "num_voxels", "vox_voff", "vox_vcnt")
 _VOX_COLS = ("vox_k0", "vox_k1", "vox_k2l", "vox_node", "vox_rgba")
-_PT_COLS = ("pt_x", "pt_y", "pt_z", "pt_rgba")
+_PT_COLS = ("pt_w0", "pt_w1", "pt_w2", "pt_rgba")
 _SEG_COLS = ("seg_node", "seg_off", "seg_cnt")
 
 

@@ -63,9 +63,14 @@ def gather_point_samples(cfg: EngineConfig, state: OctreeState,
     offs = jnp.where(ok, state.seg_off, 0)
     W = ((window or cfg.max_render_points) // 128) * 128
     p = ragged.plan(offs, counts, W)
-    x = ragged.gather_column(p, state.pt_x)
-    y = ragged.gather_column(p, state.pt_y)
-    z = ragged.gather_column(p, state.pt_z)
+    # pool positions are Morton words; decode to cell-center floats (elementwise
+    # on the gathered window — the gather itself moves the same 12 B/row)
+    gw0 = ragged.gather_column(p, state.pt_w0)
+    gw1 = ragged.gather_column(p, state.pt_w1)
+    gw2 = ragged.gather_column(p, state.pt_w2)
+    qx, qy, qz = morton.decode(gw0, gw1, gw2)
+    x, y, z = morton.dequantize_cols(qx, qy, qz, state.box_min,
+                                     state.cube_size)
     rgba = jax.lax.bitcast_convert_type(
         ragged.gather_column(p, jax.lax.bitcast_convert_type(
             state.pt_rgba, jnp.float32)), jnp.uint32)

@@ -39,4 +39,4 @@ def test_build_many_matches_steps(rng):
         assert int(getattr(s1, name)) == int(getattr(s2, name)), name
     np.testing.assert_array_equal(np.asarray(s1.child_base), np.asarray(s2.child_base))
     np.testing.assert_array_equal(np.asarray(s1.num_points), np.asarray(s2.num_points))
-    np.testing.assert_array_equal(np.asarray(s1.pt_x), np.asarray(s2.pt_x))
+    np.testing.assert_array_equal(np.asarray(s1.pt_w0), np.asarray(s2.pt_w0))

@@ -50,15 +50,10 @@ def oracle_filter(state):
     seg_node = np.asarray(state.seg_node)[:ns]
     seg_off = np.asarray(state.seg_off)[:ns]
     seg_cnt = np.asarray(state.seg_cnt)[:ns]
-    pt_xyz = np.asarray(state.pt_xyz)
+    from simlod_tpu.ops import morton as mort
+    pt_q = np.stack([np.asarray(a) for a in mort.decode(
+        state.pt_w0, state.pt_w1, state.pt_w2)], -1).astype(np.int64)
     pt_rgba = np.asarray(state.pt_rgba)
-    box_min = np.asarray(state.box_min)
-    cube = float(state.cube_size)
-
-    def quant(p):
-        g = float(C.FULL_GRID_SIZE)
-        return np.clip(np.floor((p - box_min) / cube * g).astype(np.int64), 0,
-                       C.FULL_GRID_SIZE - 1)
 
     def samples_of(i):
         """(qcoords [m,3], colors [m]) of node i's own samples (points or voxels)."""
@@ -67,7 +62,7 @@ def oracle_filter(state):
             for s in range(ns):
                 if seg_node[s] == i and seg_cnt[s] > 0:
                     sl = slice(seg_off[s], seg_off[s] + seg_cnt[s])
-                    qs.append(quant(pt_xyz[sl]))
+                    qs.append(pt_q[sl])
                     cs.append(pt_rgba[sl])
             if not qs:
                 return np.zeros((0, 3), np.int64), np.zeros(0, np.uint32)

@@ -144,7 +144,8 @@ def test_all_to_all_scales_per_chip_work(rng):
     # brick range (the pool also holds junk rows between segments — interleaved
     # boundary rows, build.Work — which carry no point data)
     level = shard.brick_level_for(n)
-    pool = np.asarray(sstate.pt_x), np.asarray(sstate.pt_y), np.asarray(sstate.pt_z)
+    pool = (np.asarray(sstate.pt_w0), np.asarray(sstate.pt_w1),
+            np.asarray(sstate.pt_w2))
     from simlod_tpu.ops import morton as mort
     seg_off = np.asarray(sstate.seg_off)
     seg_cnt = np.asarray(sstate.seg_cnt)
@@ -155,10 +156,9 @@ def test_all_to_all_scales_per_chip_work(rng):
         if not rows:
             continue
         idx = np.concatenate(rows)
-        qx, qy, qz = (np.asarray(mort.quantize_cols(
+        qx, qy, qz = (np.asarray(a) for a in mort.decode(
             jnp.asarray(pool[0][d][idx]), jnp.asarray(pool[1][d][idx]),
-            jnp.asarray(pool[2][d][idx]), jnp.zeros(3, np.float32),
-            jnp.float32(1.0))[i]) for i in range(3))
+            jnp.asarray(pool[2][d][idx])))
         owner = np.asarray(shard._brick_owner(
             jnp.asarray(qx), jnp.asarray(qy), jnp.asarray(qz), level, n))
         assert (owner == d).all(), f"device {d} stored foreign points"
