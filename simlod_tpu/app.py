@@ -162,7 +162,7 @@ def main(argv=None) -> int:
                   f"(dropped {rep['num_points_dropped']:,})")
         if rep.get("num_candidates_dropped"):
             print(f"note: {rep['num_candidates_dropped']:,} voxel candidates hit "
-                  "the per-step window (transient; raise candidate_factor to "
+                  "the per-step window (transient; raise cand_multi_rows to "
                   "tighten LOD colors)")
         if rep.get("render_truncated"):
             print("WARNING: last frame dropped visible samples (sample window "
