@@ -269,6 +269,7 @@ class Engine:
                                               bc, jnp.asarray(counts, jnp.int32))
                 del items, planes
                 self._maybe_compact(poll=True)
+            self.finish_splits()
             jax.block_until_ready(self.state.num_nodes)
             self._steps_since_poll = 0
             self.t_build.add(time.perf_counter() - t0)
@@ -289,10 +290,26 @@ class Engine:
                 if self._capacity_flag:
                     break
         self.last_batch_finished = True
+        self.finish_splits()
         jax.block_until_ready(self.state.num_nodes)
         self._steps_since_poll = 0
         self._capacity_flag = bool(self.state.mem_capacity_reached)
         self.t_build.add(time.perf_counter() - t0)
+
+    def finish_splits(self, max_rounds: int = 32) -> int:
+        """End-of-load split convergence: leaves can end the stream over the
+        50k threshold when a step's round-1 budgets deferred their split and no
+        later batch revisited them (the reference's expand() instead converges
+        within each batch, voxels.cu:385-414). Loops the forced-selection pass
+        until no leaf is overfull; returns rounds run (0 in the common case)."""
+        rounds = 0
+        while rounds < max_rounds:
+            ids, n = build.overfull_leaf_ids(self.cfg, self.state)
+            if int(n) == 0:
+                break
+            self.state = build.split_finish(self.cfg, self.state, ids)
+            rounds += 1
+        return rounds
 
     _capacity_flag: bool = False
 

@@ -344,7 +344,8 @@ def _common_prefix_lo(qx, qy, qz, prev_ok):
     return jnp.maximum(n_common - (C.GRID_BITS - 1), 0)
 
 
-def split_loop(cfg: EngineConfig, state: OctreeState, work: Work):
+def split_loop(cfg: EngineConfig, state: OctreeState, work: Work,
+               force_ids=None):
     """Resolve ALL splits a batch causes with ONE stored-point spill.
 
     The reference iterates expand() {count, split, re-insert} until no leaf is
@@ -389,6 +390,25 @@ def split_loop(cfg: EngineConfig, state: OctreeState, work: Work):
     mx = jnp.int32(I32_MAX)
 
     runs = compute_runs(cfg, work)
+    if force_ids is not None:
+        # End-of-load convergence (split_finish): a leaf can end the stream
+        # over-capacity when a step's round-1 budgets deferred its split and no
+        # later batch routed points to it (the reference converges within each
+        # batch instead — expand() loops until no leaf spills,
+        # progressive_octree_voxels.cu:385-414). The finish pass re-enters this
+        # machinery with an EMPTY batch (count == 0, so compute_runs found no
+        # runs) and the overfull node ids as synthetic zero-length runs at the
+        # window front: work intervals come out empty and the spill path
+        # re-routes the nodes' stored segments to final depth as usual.
+        KF = force_ids.shape[0]
+        nf = jnp.sum((force_ids >= 0).astype(jnp.int32))
+        ext = jnp.arange(KF, dtype=jnp.int32) < nf   # ids are front-compacted
+        runs = Runs(
+            r_leaf=jnp.concatenate([jnp.maximum(force_ids, 0), runs.r_leaf]),
+            r_cnt=jnp.concatenate([jnp.zeros((KF,), jnp.int32), runs.r_cnt]),
+            r_row=jnp.concatenate([jnp.zeros((KF,), jnp.int32), runs.r_row]),
+            n_runs=nf + runs.n_runs * jnp.int32(0))
+        del ext
     RW = runs.r_leaf.shape[0]
 
     # valid-row prefix counts of the work stream (shared by all interval counts)
@@ -995,6 +1015,51 @@ def build_many_impl(cfg: EngineConfig, state: OctreeState, x_batches: jax.Array,
 
 build_many = functools.partial(jax.jit, static_argnums=0,
                                donate_argnums=1)(build_many_impl)
+
+
+def overfull_leaf_ids_impl(cfg: EngineConfig, state: OctreeState):
+    """Leaves still over the split threshold -> (ids [max_splits_per_round]
+    front-compacted, -1 padded; total count). Feeds split_finish."""
+    n_cap = state.child_base.shape[0]
+    ids = jnp.arange(n_cap, dtype=jnp.int32)
+    over = ((state.child_base < 0) & (ids < state.num_nodes)
+            & (state.counter > cfg.max_points_per_node)
+            & (state.level < cfg.max_depth))
+    (sel,), n = compact_mask_via_sort(over, (ids,))
+    K1 = cfg.max_splits_per_round
+    kf = jnp.arange(K1, dtype=jnp.int32)
+    return jnp.where(kf < jnp.minimum(n, K1), sel[:K1], -1), n
+
+
+overfull_leaf_ids = functools.partial(jax.jit, static_argnums=0)(
+    overfull_leaf_ids_impl)
+
+# the finish pass carries no batch; a small work width keeps its program cheap
+_FINISH_B = 1024
+
+
+def split_finish_impl(cfg: EngineConfig, state: OctreeState,
+                      force_ids: jax.Array) -> OctreeState:
+    """One end-of-load split-convergence pass: split the given overfull leaves.
+
+    The reference's expand() converges within every batch (voxels.cu:385-414);
+    here round-1 budgets (max_splits_per_round / spill_capacity /
+    seg_select_cap) may defer splits to later steps, and splits deferred from
+    the LAST batches would otherwise never happen. This runs the normal step
+    machinery on an empty batch with a forced selection; the engine loops it
+    until overfull_leaf_ids is empty."""
+    zf = jnp.zeros((_FINISH_B,), jnp.float32)
+    zc = jnp.zeros((_FINISH_B,), jnp.uint32)
+    state, work = route(cfg, state, zf, zf, zf, zc, jnp.int32(0))
+    state, work, runs, spill_extra = split_loop(cfg, state, work,
+                                                force_ids=force_ids)
+    state = batch_voxel_candidates(cfg, state, work, spill_extra)
+    state = insert_points(cfg, state, work, runs)
+    return state
+
+
+split_finish = functools.partial(jax.jit, static_argnums=0,
+                                 donate_argnums=1)(split_finish_impl)
 
 
 def _compact_voxels_core(cfg: EngineConfig, state: OctreeState,

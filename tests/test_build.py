@@ -192,3 +192,53 @@ def test_compaction_dedups_across_steps(rng):
     state = run_build(CFG, both, cols, [0, 0, 0], [1, 1, 1])
     ref = run_oracle(CFG, both, cols, [0, 0, 0], [1, 1, 1])
     check_against_oracle(CFG, state, ref)
+
+
+def test_deep_tree_clustered():
+    """Depth scale check (VERDICT r2 #9): the clustered generator must force a
+    deep split cascade, and the invariants must hold at depth.
+
+    A gaussian cluster with sigma = extent/2^10 keeps >max_points_per_node
+    points inside every enclosing cell down to ~level 10, so the build must
+    cascade far past the terrain bench's depth ~5.
+    """
+    from simlod_tpu.formats import synthetic
+    n = 40000
+    xyz, rgba = synthetic.clustered(n, seed=7, extent=1.0, depth_scales=10,
+                                    cluster_frac=0.6)
+    cfg = EngineConfig(
+        cand_multi_rows=1 << 12, node_capacity=1 << 13,
+        point_capacity=1 << 17, voxel_capacity=1 << 19,
+        segment_capacity=1 << 14, step_points=1 << 12,
+        spill_capacity=1 << 12, max_splits_per_round=64,
+        seg_select_cap=1 << 10, max_points_per_node=64)
+    state = run_build(cfg, xyz, rgba, [0, 0, 0], [1, 1, 1])
+    # end-of-load convergence: split leaves whose round-1 budget was exhausted
+    # in the final steps (Engine.finish_splits does this after load_all)
+    rounds = 0
+    while rounds < 32:
+        ids, n_over = build.overfull_leaf_ids(cfg, state)
+        if int(n_over) == 0:
+            break
+        state = build.split_finish(cfg, state, ids)
+        rounds += 1
+    nn = int(state.num_nodes)
+    level = np.asarray(state.level)[:nn]
+    child_base = np.asarray(state.child_base)[:nn]
+    num_points = np.asarray(state.num_points)[:nn]
+    counter = np.asarray(state.counter)[:nn]
+    is_leaf = child_base < 0
+
+    assert not bool(state.mem_capacity_reached)
+    assert int(state.num_points_dropped) == 0
+    assert num_points[is_leaf].sum() == n
+    # the cluster cascade actually went deep
+    assert level.max() >= 8, int(level.max())
+    # leaves below max depth respect the cap even at depth — STRICTLY, thanks
+    # to the finish pass
+    deep_ok = is_leaf & (level < cfg.max_depth)
+    assert (counter[deep_ok] <= cfg.max_points_per_node).all()
+    # every inner node on the deep path has voxels after compaction
+    state = build.compact_voxels(cfg, state)
+    nv = np.asarray(state.num_voxels)[:nn]
+    assert (nv[~is_leaf] > 0).all()
