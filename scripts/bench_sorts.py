@@ -51,6 +51,20 @@ def main():
         k, k2, p, _ = jax.lax.sort((k, k2, p, k), num_keys=2)
         return k, k2, p
 
+    # pixel-sort shape study (render/raster_tiles.py:271): is the 3rd column's
+    # cost in the comparator (keys) or the data movement (operands)?
+    def sort3k0p(k, k2, p):          # current: (pix, depth, colorkey) all keys
+        k, k2, p = jax.lax.sort((k, k2, p), num_keys=3)
+        return k, k2, p
+
+    def sort2k1p(k, k2, p):          # color demoted to payload (tie order free)
+        k, k2, p = jax.lax.sort((k, k2, p), num_keys=2)
+        return k, k2, p
+
+    def sort2k0p(k, k2, p):          # color dropped from the sort entirely
+        k, k2 = jax.lax.sort((k, k2), num_keys=2)
+        return k, k2, p
+
     def sort1k4p(k, k2, p):
         k, k2, p, a, b = jax.lax.sort((k, k2, p, k, p), num_keys=1)
         return k, k2 ^ a, p ^ b
@@ -75,6 +89,9 @@ def main():
 
     ops = [("sort 1key 0pay", sort0), ("sort 1key 1pay", sort1),
            ("sort 1key 1pay stable", sort1s), ("sort 2key 2pay", sort2k2p),
+           ("sort 3key 0pay (pixel sort)", sort3k0p),
+           ("sort 2key 1pay (color=pay)", sort2k1p),
+           ("sort 2key 0pay (no color)", sort2k0p),
            ("sort 1key 4pay", sort1k4p), ("cumsum", csum),
            ("gather1d", gath), ("packed row gather x4", packrow),
            ("scatter add (half dropped)", scatter_drop)]

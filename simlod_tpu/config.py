@@ -74,6 +74,12 @@ class EngineConfig:
     # Rasterizer backend: tile-binned sort-based Pallas kernel on TPU (see
     # render/raster_tiles.py); the scatter path is used on other backends.
     use_tile_raster: bool = True
+    # Pixel-sort tiebreak: True reproduces the reference's exact u64 atomicMin
+    # winner (min depth THEN min color, render.cu:95-99) by sorting a 3rd
+    # color-key column. False demotes color to a payload — the winner's DEPTH
+    # is still exact (HQS output identical); only equal-(pixel,depth) color
+    # ties resolve arbitrarily, in exchange for a cheaper comparator.
+    raster_exact_tiebreak: bool = True
 
     # Render capacities
     max_render_points: int = 8 << 20      # visible point samples per frame (padded)

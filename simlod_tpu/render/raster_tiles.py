@@ -267,8 +267,12 @@ def rasterize_tiles(cfg: EngineConfig, uniforms: Uniforms, width: int, height: i
     # sort by (pixel, depth bits, color key): run start == u64 atomicMin winner.
     # color key has the sign bit flipped so i32 order matches unsigned order; the
     # color itself is recovered from the key (no 4th payload).
+    # With raster_exact_tiebreak=False the color rides as a payload instead of a
+    # 3rd key: winner depth (and all HQS output) is unchanged, only the color of
+    # exact-(pixel,depth) ties becomes comparator-order-defined.
     ckey = jax.lax.bitcast_convert_type(col ^ jnp.uint32(0x80000000), jnp.int32)
-    spix, sdb, sck = jax.lax.sort((pix, db, ckey), num_keys=3, is_stable=False)
+    nkeys = 3 if cfg.raster_exact_tiebreak else 2
+    spix, sdb, sck = jax.lax.sort((pix, db, ckey), num_keys=nkeys, is_stable=False)
     scol = jax.lax.bitcast_convert_type(sck, jnp.uint32) ^ jnp.uint32(0x80000000)
 
     # --- prepass: winner flag, carried winner depth, mode-resolved contribute

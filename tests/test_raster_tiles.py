@@ -61,6 +61,24 @@ def test_matches_scatter_path(hqs):
         np.testing.assert_array_equal(cr, cn)
 
 
+@pytest.mark.parametrize("hqs", [True, False])
+def test_fast_tiebreak_matches_when_no_depth_ties(hqs):
+    # raster_exact_tiebreak=False demotes the color column from sort key to
+    # payload; with distinct random f32 depths no (pixel, depth) ties exist,
+    # so the output must be identical to the exact path
+    rng = np.random.default_rng(11)
+    cfg = EngineConfig(raster_exact_tiebreak=False)
+    W, H = 160, 120
+    s = make_samples(rng, 4096)
+    u = ortho_uniforms(W, H, hqs)
+    c_ref, d_ref = raster_tiles.rasterize_tiles(EngineConfig(), u, W, H, [s],
+                                                interpret=True)
+    c_new, d_new = raster_tiles.rasterize_tiles(cfg, u, W, H, [s],
+                                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_new))
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_new))
+
+
 def test_empty_frame():
     cfg = EngineConfig()
     W, H = 128, 64
