@@ -45,27 +45,33 @@ def main():
 
     import functools
 
-    def make_full(tile, chunk):
+    def make_full(tile, chunk, rcfg):
         @functools.partial(jax.jit, static_argnums=(4, 5))
         def full(x, y, z, c, w, h, u):
             cc, d = raster_tiles.rasterize_tiles(
-                cfg, u, w, h, [mk_samples(x, y, z, c)], tile=tile, chunk=chunk)
+                rcfg, u, w, h, [mk_samples(x, y, z, c)], tile=tile, chunk=chunk)
             return cc[::4097].astype(jnp.int32).sum() + d[::4097].sum()
         return full
 
-    for tile, chunk in [(1024, 1024), (1024, 512), (2048, 1024), (512, 1024),
-                        (1024, 2048)]:
-        full = make_full(tile, chunk)
+    fast_cfg = EngineConfig(raster_exact_tiebreak=False)
+    # (tile, chunk, cfg-label) — tile is capped at 1024 by the factored kernel
+    sweeps = [(512, 512, cfg, "exact"), (512, 512, fast_cfg, "fast-tb"),
+              (1024, 1024, cfg, "exact"), (1024, 512, cfg, "exact"),
+              (512, 1024, cfg, "exact"), (1024, 2048, cfg, "exact"),
+              (256, 512, cfg, "exact"), (512, 256, cfg, "exact")]
+    for tile, chunk, rcfg, lbl in sweeps:
+        full = make_full(tile, chunk, rcfg)
         t0 = time.perf_counter()
         out = int(full(xa, ya, za, ca, W, H, u))
-        print(f"tile={tile} chunk={chunk} compile+run {time.perf_counter()-t0:.0f}s "
-              f"chk={out}", file=sys.stderr)
+        print(f"tile={tile} chunk={chunk} {lbl} compile+run "
+              f"{time.perf_counter()-t0:.0f}s chk={out}", file=sys.stderr)
         best = 1e9
         for _ in range(4):
             t0 = time.perf_counter()
             out = int(full(xa, ya, za, ca, W, H, u))
             best = min(best, time.perf_counter() - t0)
-        print(f"rasterize_tiles S={S} tile={tile} chunk={chunk}: {best*1e3:.1f} ms")
+        print(f"rasterize_tiles S={S} tile={tile} chunk={chunk} {lbl}: "
+              f"{best*1e3:.1f} ms")
 
     # scatter path for comparison
     @functools.partial(jax.jit, static_argnums=(4, 5))
