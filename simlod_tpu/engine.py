@@ -362,11 +362,21 @@ class Engine:
         if self._cand_bumps >= 2 or d_proc <= 0 or d_drop * 100 < d_proc:
             return
         self._cand_bumps += 1
+        # right-size from the measured overflow instead of blind doubling:
+        # drops/step is exactly the window shortfall, so ONE re-specialization
+        # usually lands at a lossless window (doubling from a starved base
+        # needed several recompiles and kept losing batches in between)
+        cur = self.cfg.cand_multi_rows or self.cfg.step_points // 4
+        steps = max(d_proc // max(self.cfg.step_points, 1), 1)
+        need = cur + (d_drop + steps - 1) // steps
+        need = max(2 * cur, int(need * 1.25))
+        need = 1 << (need - 1).bit_length()   # pow2: bounded program variants
+        # emitters come from the batch AND split-spilled re-emissions
+        # (build.batch_voxel_candidates spill_extra), so the ceiling is the
+        # combined width, not the step size
+        cap = self.cfg.step_points + self.cfg.spill_capacity
         self.cfg = dataclasses.replace(
-            self.cfg,
-            cand_multi_rows=min(2 * (self.cfg.cand_multi_rows
-                                     or self.cfg.step_points // 4),
-                                self.cfg.step_points))
+            self.cfg, cand_multi_rows=min(need, cap))
 
     def filter_colors(self) -> None:
         """Bottom-up voxel color filtering (reference colorfilter.cu; see
