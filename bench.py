@@ -283,19 +283,13 @@ def main() -> int:
     u = Uniforms.make(WIDTH, HEIGHT, c.transform(), settings=Settings())
     from simlod_tpu.render.render import probe_visible_counts
     nvp, nvv = probe_visible_counts(state, u)  # cheap: no raster program compiled
-    # engine-style adaptive windows from the measured visible counts
-    # (1/8-pow2 buckets, see Engine._windows)
-    def bucket(n, cap):
-        n = max(int(n * 1.25) + 1024, 1 << 18)
-        b = max((n - 1).bit_length() - 3, 0)
-        return min(((n + (1 << b) - 1) >> b) << b, cap)
-    pw = bucket(int(nvp), cfg.max_render_points)
-    vw = bucket(int(nvv), cfg.max_render_voxels)
-    def dbucket(n, cap):
-        n = max(2 * n + 64, 4096)
-        return min(1 << (n - 1).bit_length(), cap)
-    nw = dbucket(int(state.num_nodes), cfg.node_capacity)
-    sw = dbucket(int(state.num_segments), cfg.segment_capacity)
+    # the engine's actual adaptive-window policy (shared helpers — the bench
+    # must measure the same windows the product renders with)
+    from simlod_tpu.engine import directory_window, sample_window
+    pw = sample_window(int(nvp), 0, cfg.max_render_points)
+    vw = sample_window(int(nvv), 0, cfg.max_render_voxels)
+    nw = directory_window(int(state.num_nodes), cfg.node_capacity)
+    sw = directory_window(int(state.num_segments), cfg.segment_capacity)
     t_c = time.perf_counter()
     img, fstats = render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw, nw, sw)
     jax.block_until_ready(img)

@@ -113,6 +113,23 @@ class Timings:
                     max_ms=self.max * 1e3)
 
 
+def sample_window(n: int, prev: int, cap: int) -> int:
+    """1/8-pow2 render sample window: 1.25x headroom absorbs camera swings;
+    shrink at most one octave vs `prev` so a single low-visibility frame
+    doesn't cause next-frame truncation when the camera swings back.
+    (Module-level so bench.py measures the SAME policy the engine runs.)"""
+    n = max(int(n * 1.25) + 1024, 1 << 18, prev >> 1)
+    b = max((n - 1).bit_length() - 3, 0)
+    return min(((n + (1 << b) - 1) >> b) << b, cap)
+
+
+def directory_window(n: int, cap: int) -> int:
+    """Pow2 directory window from a live watermark (2x headroom; render flags
+    `truncated` and the next frame upsizes if outgrown)."""
+    n = max(2 * n + 64, 4096)
+    return min(1 << (n - 1).bit_length(), cap)
+
+
 class Engine:
     """Holds device state and drives streaming, construction, and rendering."""
 
@@ -131,6 +148,7 @@ class Engine:
         self._last_compacted = 0
         self.last_batch_finished = False
         self._capacity_flag = False
+        self._splits_finished = False
         self.t_build = Timings()
         self.t_render = Timings()
         self.t_fused = Timings()
@@ -143,6 +161,7 @@ class Engine:
         self._last_compacted = 0
         self.last_batch_finished = False
         self._capacity_flag = False
+        self._splits_finished = False
         self.t_build = Timings()
         self.t_render = Timings()
         self.t_fused = Timings()
@@ -207,11 +226,11 @@ class Engine:
             # the flag is cached by _maybe_compact on its polling cadence
             # (ADVICE r2: checking the live counter here never fired because
             # _maybe_compact resets it)
-            self.last_batch_finished = True
+            self._end_of_stream()
             return False
         item = next(self._stream_iter, None)
         if item is None:
-            self.last_batch_finished = True
+            self._end_of_stream()
             return False
         self._consumed_chunks = getattr(self, "_consumed_chunks", 0) + 1
         if isinstance(item[4], (int, np.integer)):   # chunk_steps == 1 stream
@@ -259,17 +278,45 @@ class Engine:
                                       + (np.asarray([it[4]], np.int32),))
                     else:
                         planes.append(it[:4] + (np.asarray(it[4], np.int32),))
-                if len(planes) == 1:
-                    bx, by, bz, bc, counts = planes[0]
-                else:
-                    bx, by, bz, bc, counts = (
-                        jnp.concatenate([p[i] for p in planes])
-                        for i in range(5))
-                self.state = build.build_many(self.cfg, self.state, bx, by, bz,
-                                              bc, jnp.asarray(counts, jnp.int32))
-                del items, planes
-                self._maybe_compact(poll=True)
+                del items
+                # ONE dispatch is the fast path, but a dispatch runs with no
+                # host in the loop to compact, and raw (pre-dedup) voxel
+                # appends are data-dependent (~0.6-3 per point). Feed groups
+                # sized to the store's current headroom — pessimistic first
+                # (<=4 appends/point covers practical first-in-cell depth),
+                # then the measured ratio — with a compaction poll between
+                # groups. Small/typical loads stay one dispatch.
+                gi = 0
+                ratio = 4.0
+                while gi < len(planes) and not self._capacity_flag:
+                    used0 = int(self.state.vox_used)
+                    room = self.cfg.voxel_capacity - used0
+                    budget = max(int(room / ratio), self.cfg.step_points)
+                    take, pts = [], 0
+                    while gi < len(planes):
+                        p_pts = int(planes[gi][4].sum())
+                        if take and pts + p_pts > budget:
+                            break
+                        take.append(planes[gi])
+                        pts += p_pts
+                        gi += 1
+                    if len(take) == 1:
+                        bx, by, bz, bc, counts = take[0]
+                    else:
+                        bx, by, bz, bc, counts = (
+                            jnp.concatenate([p[i] for p in take])
+                            for i in range(5))
+                    self.state = build.build_many(
+                        self.cfg, self.state, bx, by, bz, bc,
+                        jnp.asarray(counts, jnp.int32))
+                    del take
+                    if gi < len(planes):   # ratio only matters mid-load
+                        grew = int(self.state.vox_used) - used0
+                        ratio = max(grew / max(pts, 1), 0.4) * 1.25
+                    self._maybe_compact(poll=True)
+                del planes
             self.finish_splits()
+            self._splits_finished = True
             jax.block_until_ready(self.state.num_nodes)
             self._steps_since_poll = 0
             self.t_build.add(time.perf_counter() - t0)
@@ -291,10 +338,20 @@ class Engine:
                     break
         self.last_batch_finished = True
         self.finish_splits()
+        self._splits_finished = True
         jax.block_until_ready(self.state.num_nodes)
         self._steps_since_poll = 0
         self._capacity_flag = bool(self.state.mem_capacity_reached)
         self.t_build.add(time.perf_counter() - t0)
+
+    def _end_of_stream(self) -> None:
+        """Stream drained (or capacity reached): run the one-time end-of-load
+        split convergence on EVERY consumption path — ingest_next drives the
+        CLI frame loop and the interactive viewer, not just load_all."""
+        self.last_batch_finished = True
+        if not getattr(self, "_splits_finished", False):
+            self._splits_finished = True
+            self.finish_splits()
 
     def finish_splits(self, max_rounds: int = 32) -> int:
         """End-of-load split convergence: leaves can end the stream over the
@@ -401,26 +458,14 @@ class Engine:
         over-sort vs up to 2x for plain pow2 — the sort/prepass/kernel all
         scale with window rows). A frame whose visibility outgrows the bucket
         truncates once; the next frame upsizes."""
-        def bucket(n, prev, cap):
-            # 1.25x headroom absorbs camera swings; shrink at most one octave
-            # per frame so a single low-visibility frame doesn't cause
-            # next-frame truncation when the camera swings back
-            n = max(int(n * 1.25) + 1024, 1 << 18, prev >> 1)
-            b = max((n - 1).bit_length() - 3, 0)
-            return min(((n + (1 << b) - 1) >> b) << b, cap)
         pv, vv = getattr(self, "_last_visible", (1 << 20, 1 << 20))
         ppw, pvw = getattr(self, "_last_windows", (1 << 20, 1 << 20))
-        pw = bucket(pv, ppw, self.cfg.max_render_points)
-        vw = bucket(vv, pvw, self.cfg.max_render_voxels)
+        pw = sample_window(pv, ppw, self.cfg.max_render_points)
+        vw = sample_window(vv, pvw, self.cfg.max_render_voxels)
         self._last_windows = (pw, vw)
-        # directory windows from the last-polled live watermarks (2x headroom;
-        # render flags `truncated` and the next frame upsizes if outgrown)
         nn, ns = getattr(self, "_last_counts", (0, 0))
-        def dbucket(n, cap):
-            n = max(2 * n + 64, 4096)
-            return min(1 << (n - 1).bit_length(), cap)
-        nw = dbucket(nn, self.cfg.node_capacity)
-        sw = dbucket(ns, self.cfg.segment_capacity)
+        nw = directory_window(nn, self.cfg.node_capacity)
+        sw = directory_window(ns, self.cfg.segment_capacity)
         return pw, vw, nw, sw
 
     def _note_visible(self, fstats):

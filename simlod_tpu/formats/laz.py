@@ -145,6 +145,12 @@ def _decode_chunked(hdr, data, table_off, chunk_size, types, sizes,
         csizes = native.laz_chunk_table(data[table_off:], nchunks)
         if csizes is not None and len(csizes) != nchunks:
             csizes = None
+        # consistency: chunk payloads must tile the stream exactly up to the
+        # table. A corrupt-but-decodable table would otherwise seek workers to
+        # wrong offsets and yield silently garbled points — the sequential
+        # path ignores the table and still decodes such files correctly.
+        if csizes is not None and int(np.sum(csizes)) != table_off:
+            csizes = None
     workers = workers or min(nchunks, max(2, (os.cpu_count() or 1)))
     if csizes is None or workers <= 1 or nchunks <= 1:
         return native.laz_decode(data, n, chunk_size, types, sizes)

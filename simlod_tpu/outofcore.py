@@ -142,11 +142,21 @@ class OutOfCoreEngine:
 
     # --- resident render states ---
     def _render_cfg(self) -> EngineConfig:
-        """One shared shape set for ALL bricks' render states (one compile)."""
-        nn = _pow2(max(b.num_nodes for b in self.bricks), 1024)
-        vv = _pow2(max(b.vox_used for b in self.bricks))
-        ns = _pow2(max(b.num_segments for b in self.bricks))
-        pp = _pow2(max(b.pool_used for b in self.bricks))
+        """One shared shape set for ALL bricks' render states (one compile).
+
+        Growing the brick set can grow the shared shapes; cached resident
+        states built at the OLD shapes must then be dropped, or each stale
+        shape set compiles its own render program (multi-minute on the
+        tunneled device)."""
+        shapes = tuple(
+            _pow2(max(getattr(b, f) for b in self.bricks), lo)
+            for f, lo in (("num_nodes", 1024), ("vox_used", 128),
+                          ("num_segments", 128), ("pool_used", 128)))
+        if shapes != getattr(self, "_render_shapes", None):
+            self._render_shapes = shapes
+            self._resident = {}
+            self._paged_in = None
+        nn, vv, ns, pp = shapes
         return dataclasses.replace(
             self.cfg, node_capacity=nn, voxel_capacity=vv, segment_capacity=ns,
             # page_in shares these shapes; voxel-only states just leave the

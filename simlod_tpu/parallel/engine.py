@@ -111,6 +111,9 @@ class ShardedEngine:
     def load_all(self):
         while self.ingest_next():
             pass
+        # end-of-load split convergence, same contract as Engine.load_all
+        self.state = shard.sharded_finish_splits(self.cfg, self.mesh,
+                                                 self.state)
         jax.block_until_ready(self.state.num_nodes)
 
     # --- rendering ---

@@ -239,3 +239,37 @@ def sharded_compact(cfg: EngineConfig, mesh: Mesh, state):
     v_cap = state.vox_node.shape[1]
     w = min(1 << max(10, (max(used, 1) - 1).bit_length()), v_cap)
     return _sharded_compact(cfg, mesh, state, w)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=2)
+def _sharded_finish_round(cfg: EngineConfig, mesh: Mesh, state):
+    """One per-chip forced split pass; returns pre-pass overfull counts [n].
+
+    Each chip selects its own overfull leaves (local octrees are independent —
+    no collectives needed); chips already converged run the pass with an all
+    -1 selection, which is a no-op (split_finish masks id < 0)."""
+    def local(st):
+        st = jax.tree.map(lambda a: jnp.squeeze(a, 0), st)
+        ids, n = build.overfull_leaf_ids_impl(cfg, st)
+        st = build.split_finish_impl(cfg, st, ids)
+        return jax.tree.map(lambda a: a[None], st), n[None]
+
+    # check_vma off: the pass is purely chip-local (no collectives), but its
+    # empty-batch constants trip the varying-axes inference inside the
+    # builder's while_loops
+    return shard_map(local, mesh=mesh, in_specs=(P(AXIS),),
+                     out_specs=(P(AXIS), P(AXIS)), check_vma=False)(state)
+
+
+def sharded_finish_splits(cfg: EngineConfig, mesh: Mesh, state,
+                          max_rounds: int = 32):
+    """End-of-load split convergence across all chips (the sharded analogue of
+    Engine.finish_splits): loop per-chip forced splits until NO chip has an
+    overfull leaf. The sharded step defers splits under the same round-1
+    budgets as the single-chip step, so skipping this diverges the sharded
+    tree from the single-chip result on dense/clustered tails."""
+    for _ in range(max_rounds):
+        state, n = _sharded_finish_round(cfg, mesh, state)
+        if int(jnp.max(n)) == 0:
+            break
+    return state

@@ -242,8 +242,8 @@ def rasterize_tiles(cfg: EngineConfig, uniforms: Uniforms, width: int, height: i
     tile = tile or TILE
     chunk = chunk or CHUNK
     # the factored kernel needs lo in [0,128) and the per-hi resolve needs
-    # tile//8 lanes to divide 128
-    assert tile % 128 == 0 and tile <= 1024, tile
+    # tile//8 lanes to divide 128 (i.e. tile in {128, 256, 512, 1024})
+    assert tile % 128 == 0 and tile <= 1024 and 128 % (tile // 8) == 0, tile
     npx = width * height
     n_tiles = (npx + tile - 1) // tile
     npad = n_tiles * tile

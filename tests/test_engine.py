@@ -24,6 +24,16 @@ def cloud_file(tmp_path, rng):
     return p
 
 
+def _no_overfull_leaves(eng):
+    s = eng.state
+    n_cap = np.asarray(s.child_base).shape[0]
+    ids = np.arange(n_cap)
+    over = ((np.asarray(s.child_base) < 0) & (ids < int(s.num_nodes))
+            & (np.asarray(s.level) < eng.cfg.max_depth)
+            & (np.asarray(s.counter) > eng.cfg.max_points_per_node))
+    return not over.any()
+
+
 def test_build_only(cloud_file):
     eng = Engine(CFG, Settings())
     eng.open([cloud_file])
@@ -35,6 +45,10 @@ def test_build_only(cloud_file):
     assert rep["num_nodes"] > 8  # splits happened at 256/leaf
     assert not rep["mem_capacity_reached"]
     assert rep["stream"]["points_loaded"] == 60_000
+    # the ingest_next path (CLI frame loop / viewer) must run the end-of-load
+    # split convergence exactly like load_all, not just drain the stream
+    assert eng._splits_finished
+    assert _no_overfull_leaves(eng)
 
 
 def test_simultaneous_frames(cloud_file):

@@ -41,3 +41,15 @@ def test_sharded_engine_file_to_frame(tmp_path):
     img = np.asarray(eng.render())
     assert img.shape == (64, 96)
     assert (img != C.BACKGROUND_COLOR).any()
+
+    # end-of-load split convergence ran on every chip (Engine.load_all
+    # contract): no leaf below max_depth is left over the split threshold
+    s = eng.state
+    n_chips, n_cap = np.asarray(s.child_base).shape
+    ids = np.arange(n_cap)[None, :]
+    is_leaf = np.asarray(s.child_base) < 0
+    live = ids < np.asarray(s.num_nodes)[:, None]
+    below = np.asarray(s.level) < CFG.max_depth
+    over = is_leaf & live & below & (
+        np.asarray(s.counter) > CFG.max_points_per_node)
+    assert not over.any(), int(over.sum())
