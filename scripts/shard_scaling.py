@@ -62,7 +62,7 @@ def main() -> int:
         state = shard.init_sharded_state(cfg, mesh, np.zeros(3, np.float32),
                                          np.ones(3, np.float32))
         # warm (compile); the step DONATES its state, so re-init for timing
-        s1, img, counts = step(state, *cols, cc, jnp.int32(B), u, False)
+        s1, img, _d, counts = step(state, *cols, cc, jnp.int32(B), u, False)
         jax.block_until_ready(s1.num_nodes)
         st = shard.init_sharded_state(cfg, mesh, np.zeros(3, np.float32),
                                       np.ones(3, np.float32))

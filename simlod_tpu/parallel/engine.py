@@ -79,10 +79,11 @@ class ShardedEngine:
 
     # --- construction ---
     def ingest(self, x, y, z, rgba, count, render: bool = False):
-        self.state, img, counts = self.step(
+        self.state, img, depth, counts = self.step(
             self.state, x, y, z, rgba, jnp.asarray(count, jnp.int32),
             self.uniforms(), render)
         self._steps_since_compact += 1
+        self.last_depth = depth
         return img
 
     def _maybe_compact(self, force: bool = False):

@@ -133,7 +133,7 @@ def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int,
     """Returns a jitted sharded simultaneous step:
 
         (stacked_state, x, y, z, rgba, count, uniforms, do_render)
-            -> (stacked_state, image, my_counts)
+            -> (stacked_state, image, depth_bits, my_counts)
 
     Batch columns are SHARDED over the mesh (each device receives B/n rows; `count`
     is the global valid prefix of the [B] batch). Voxel compaction is host-gated
@@ -182,17 +182,21 @@ def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int,
             windev = jax.lax.pmin(jnp.where(depth == gmin, dev, big), AXIS)
             is_winner = (depth == gmin) & (dev == windev)
             comp = jax.lax.psum(jnp.where(is_winner, color, jnp.uint32(0)), AXIS)
-            return raster.edl(comp, gmin, uniforms, width, height)
+            # depth rides out for cross-BRICK composites (out-of-core); EDL
+            # respects uniforms.enable_edl (off when compositing happens later)
+            return raster.edl(comp, gmin, uniforms, width, height), gmin
 
         def no_render(state):
             # invariant across devices, like the psum/pmin-composited render output
             npx = width * height
-            return jnp.full((npx,), jnp.uint32(C.BACKGROUND_COLOR))
+            return (jnp.full((npx,), jnp.uint32(C.BACKGROUND_COLOR)),
+                    jnp.full((npx,), jnp.int32(C.DEPTH_INF_BITS)))
 
-        img = jax.lax.cond(do_render, render, no_render, state)
+        img, depth = jax.lax.cond(do_render, render, no_render, state)
 
         state = jax.tree.map(lambda a: a[None], state)
-        return state, img.reshape(height, width), my_count[None]
+        return (state, img.reshape(height, width),
+                depth.reshape(height, width), my_count[None])
 
     def step(state, x, y, z, rgba, count, uniforms, do_render=True):
         do_render = jnp.asarray(do_render, jnp.bool_)
@@ -200,7 +204,7 @@ def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int,
             local_step, mesh=mesh,
             in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(),
                       P()),
-            out_specs=(P(AXIS), P(), P(AXIS)),
+            out_specs=(P(AXIS), P(), P(), P(AXIS)),
         )(state, x, y, z, rgba, count, uniforms, do_render)
 
     fn = jax.jit(step, donate_argnums=0)

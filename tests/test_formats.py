@@ -203,3 +203,12 @@ def test_laz_chunk_table_parallel_decode(tmp_path):
     par = laz._decode_chunked(hdr, data, table_off, chunk_size, types, sizes,
                               workers=3)
     np.testing.assert_array_equal(seq, par)
+
+    # a corrupt-but-decodable chunk table (sizes no longer tile the stream up
+    # to the table) must NOT seek parallel workers to wrong offsets: the
+    # chunked path falls back to sequential decode and still returns exact data
+    bad = np.array(data, copy=True)
+    bad[table_off:table_off + 16] = bad[table_off:table_off + 16] ^ 0xA5
+    got = laz._decode_chunked(hdr, bad, table_off, chunk_size, types, sizes,
+                              workers=3)
+    np.testing.assert_array_equal(seq, got)

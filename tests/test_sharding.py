@@ -57,7 +57,7 @@ def test_sharded_build_and_render(rng):
         chunk, cols = xyz[s:s + B], rgba[s:s + B]
         cx = np.zeros((B, 3), np.float32); cx[:len(chunk)] = chunk
         cc = np.zeros((B,), np.uint32); cc[:len(chunk)] = cols
-        sstate, img, counts = step(
+        sstate, img, _d, counts = step(
             sstate,
             jnp.asarray(np.ascontiguousarray(cx[:, 0])),
             jnp.asarray(np.ascontiguousarray(cx[:, 1])),
@@ -69,7 +69,7 @@ def test_sharded_build_and_render(rng):
     # render-only step (count=0 build is a no-op)
     sstate = shard.sharded_compact(CFG, mesh, sstate)
     zero = jnp.zeros((B,), jnp.float32)
-    sstate, img, _ = step(sstate, zero, zero, zero,
+    sstate, img, _d, _ = step(sstate, zero, zero, zero,
                           jnp.zeros((B,), jnp.uint32), jnp.int32(0), u, True)
     assert total == 20_000  # routing partitions the batch exactly
 
@@ -127,7 +127,7 @@ def test_all_to_all_scales_per_chip_work(rng):
     orbit.focus_box([0, 0, 0], box_max)
     c.world = orbit.world()
     u = Uniforms.make(W, H, c.transform(), settings=Settings(enable_edl=False))
-    sstate, img, counts = step(
+    sstate, img, _d, counts = step(
         sstate,
         jnp.asarray(np.ascontiguousarray(xyz[:, 0])),
         jnp.asarray(np.ascontiguousarray(xyz[:, 1])),
