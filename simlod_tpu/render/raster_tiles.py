@@ -130,7 +130,11 @@ def _make_kernel(tile: int, chunk: int):
             hi_i = lpix >> 7
             oh_lo = (lo_i[None, :] == lo_iota).astype(jnp.bfloat16)  # [128, chunk]
 
-            hq = mode_ref[0] == 1
+            # mode as a bf16 VECTOR (Mosaic cannot legalize scalar bf16
+            # selects — arith.select (i1, bf16, bf16) — so the mode blends
+            # are arithmetic: hqv*a + plv*b)
+            hqv = jnp.full((chunk,), mode_ref[0], jnp.int32).astype(jnp.bfloat16)
+            plv = jnp.bfloat16(1) - hqv
             amf = am.astype(jnp.bfloat16)
             wf = win.astype(jnp.bfloat16)
             # mode-selected weights: color rows accumulate `am`-weighted bytes
@@ -139,17 +143,16 @@ def _make_kernel(tile: int, chunk: int):
             # depth byte biased +1 in plain (0..256 are all exact in bf16) so
             # it doubles as plain's coverage flag — colors can't (color_white
             # mode has alpha 0), and exactly ONE winner flags per pixel
-            cw = jnp.where(hq, amf, wf)
+            cw = hqv * amf + plv * wf
 
             def byte(v, k):  # bytes <= 255 are exact in bf16
                 return ((v >> (8 * k)) & 0xFF).astype(jnp.bfloat16)
 
             rows = [
                 byte(col, 0) * cw, byte(col, 1) * cw, byte(col, 2) * cw,
-                jnp.where(hq, amf, byte(col, 3) * wf),
+                hqv * amf + plv * byte(col, 3) * wf,
                 byte(db, 0) * wf, byte(db, 1) * wf, byte(db, 2) * wf,
-                (byte(db, 3) + jnp.where(hq, jnp.bfloat16(0),
-                                         jnp.bfloat16(1))) * wf,
+                (byte(db, 3) + plv) * wf,
             ]
             vals16 = jnp.stack(rows)                              # [NC, chunk]
             exp = jnp.concatenate(
@@ -163,7 +166,9 @@ def _make_kernel(tile: int, chunk: int):
 
         jax.lax.fori_loop(c0, c1, chunk_body, 0, unroll=False)
 
-        hqs = mode_ref[0] == 1
+        # vector-shaped mode predicate: scalar-pred selects on vector values
+        # are another Mosaic legalization hazard (see chunk_body)
+        hqs = jnp.full((128,), mode_ref[0], jnp.int32) == 1
         bg = jnp.uint32(C.BACKGROUND_COLOR)
         lanes = tile // 8
         rows_per_h = 128 // lanes  # out-block rows covered by one hi group
@@ -182,7 +187,9 @@ def _make_kernel(tile: int, chunk: int):
                     & jnp.uint32(0xFF)
 
             cnt = st[:, 3]
-            covered = jnp.where(hqs, cnt > 0.0, st[:, 7] > 0.0)
+            # select f32 then compare: i1-valued select operands hit another
+            # Mosaic legalization gap (trunci i8 -> i1)
+            covered = jnp.where(hqs, cnt, st[:, 7]) > 0.0
             cntf = jnp.maximum(cnt, 1.0)
             hq_color = (q8(st[:, 0] / cntf)
                         | (q8(st[:, 1] / cntf) << 8)
