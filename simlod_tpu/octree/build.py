@@ -1002,11 +1002,24 @@ def build_many_impl(cfg: EngineConfig, state: OctreeState, x_batches: jax.Array,
     against a pre-uploaded ring (main_progressive_octree.cpp:364-399); the XLA
     equivalent is scanning the step over device-resident batches, which removes all
     host round-trips between steps.
+
+    The voxel-store watermark is carried DEVICE-side: when the lazy store
+    crosses the compaction watermark between steps, the scan body compacts
+    in-program (lax.cond — the dedup sort only runs when triggered). This is
+    what lets a whole-file load ride ONE dispatch with zero host polls: the
+    round-3 group loop's `int(vox_used)` readbacks between donated dispatches
+    measured ~5 s each on the tunneled runtime (VERDICT r3 item 1a).
     """
+    wm = jnp.int32(int(cfg.voxel_capacity * cfg.voxel_compact_watermark))
 
     def body(st, inp):
         bx, by, bz, bc, n = inp
-        return build_step_impl(cfg, st, bx, by, bz, bc, n), None
+        st = build_step_impl(cfg, st, bx, by, bz, bc, n)
+        st = jax.lax.cond(
+            st.vox_used > wm,
+            lambda s: _compact_voxels_core(cfg, s, s.vox_k0.shape[0]),
+            lambda s: s, st)
+        return st, None
 
     state, _ = jax.lax.scan(
         body, state, (x_batches, y_batches, z_batches, rgba_batches, counts))

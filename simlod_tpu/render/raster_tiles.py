@@ -132,8 +132,12 @@ def _make_kernel(tile: int, chunk: int):
 
             # mode as a bf16 VECTOR (Mosaic cannot legalize scalar bf16
             # selects — arith.select (i1, bf16, bf16) — so the mode blends
-            # are arithmetic: hqv*a + plv*b)
-            hqv = jnp.full((chunk,), mode_ref[0], jnp.int32).astype(jnp.bfloat16)
+            # are arithmetic: hqv*a + plv*b). Derived from a vector COMPARE
+            # (legalizes fine) so any mode value outside {0,1} degrades to
+            # plain mode like the resolve phase below, instead of producing
+            # negative plv weights (ADVICE r3).
+            hqv = (jnp.full((chunk,), mode_ref[0], jnp.int32)
+                   == 1).astype(jnp.bfloat16)
             plv = jnp.bfloat16(1) - hqv
             amf = am.astype(jnp.bfloat16)
             wf = win.astype(jnp.bfloat16)
