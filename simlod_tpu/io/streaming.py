@@ -33,6 +33,57 @@ from ..formats import las, laz, simlod
 BATCH_POINTS = 1_000_000   # loader batch granularity (reference MAX_BATCH_SIZE, :36)
 
 
+class _BufPool:
+    """Free-queue of PRE-TOUCHED host buffer sets (the pinned-memory-pool
+    analogue, main_progressive_octree.cpp:141-222). On this microVM,
+    first-touch page population of a fresh allocation intermittently runs
+    ~100x slower than warm memory (15-50 MB/s vs GB/s during host IO storms),
+    so the load pipeline never allocates in steady state: every decode output,
+    staging plane, and record buffer cycles through one of these pools."""
+
+    def __init__(self, make, n: int):
+        self._make = make
+        self._q: queue.Queue = queue.Queue()
+        self.ensure(n)
+
+    def ensure(self, n: int) -> None:
+        """Top the pool up to n free sets (covers buffers leaked by a stream
+        stopped with transfers in flight)."""
+        while self._q.qsize() < n:
+            bufs = self._make()
+            for b in (bufs if isinstance(bufs, tuple) else (bufs,)):
+                b.reshape(-1)[:: 4096 // b.itemsize] = 0   # touch every page
+            self._q.put(bufs)
+
+    def get(self, stop: threading.Event):
+        while not stop.is_set():
+            try:
+                return self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+        return None
+
+    def put(self, bufs) -> None:
+        self._q.put(bufs)
+
+
+# process-wide pool registry: streams come and go (every Engine.open creates
+# one) but the pre-touched memory survives — re-touching costs seconds per
+# open when the host is in an IO storm
+_POOLS: dict = {}
+_POOLS_LOCK = threading.Lock()
+
+
+def _shared_pool(key, make, n: int) -> _BufPool:
+    with _POOLS_LOCK:
+        pool = _POOLS.get(key)
+        if pool is None:
+            pool = _POOLS[key] = _BufPool(make, n)
+        else:
+            pool.ensure(n)
+        return pool
+
+
 @dataclasses.dataclass
 class FileEntry:
     path: str
@@ -122,10 +173,42 @@ class PointStream:
         n_loaders = num_loaders or max(1, os.cpu_count() or 1)
         self._loaded: queue.Queue = queue.Queue(maxsize=max(4, ring_slots))
         self._ready: queue.Queue = queue.Queue(maxsize=ring_slots)  # backpressure
+
+        # pooled, pre-touched host buffers (see _BufPool): loaders decode
+        # straight into pooled column sets (one pass, no allocation); the
+        # uploader stages into pooled [K,B] planes recycled after the H2D
+        # transfer completes
+        from .. import native as _native
+        self._cols = _native.cols_available()
+        if self._cols:
+            bp = batch_points
+            self._batch_pool = _shared_pool(
+                ("batch", bp),
+                lambda: (np.empty(bp, np.float32), np.empty(bp, np.float32),
+                         np.empty(bp, np.float32), np.empty(bp, np.uint32)),
+                n=max(4, ring_slots) + n_loaders + 2)
+        K, B = self.chunk_steps, step_points
+        set_bytes = 16 * K * B
+        # in-flight H2D cap ~192 MB: the tunneled runtime's transfer rate
+        # collapses ~30x when more than ~0.5 GB rides at once (h2d_bench)
+        self._max_inflight = max(1, min(ring_slots, (192 << 20) // set_bytes))
+        self._plane_pool = _shared_pool(
+            ("plane", K, B),
+            lambda: (np.empty((K, B), np.float32), np.empty((K, B), np.float32),
+                     np.empty((K, B), np.float32), np.empty((K, B), np.uint32)),
+            n=self._max_inflight + 1)
+        self._inflight = collections.deque()
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
         self.bytes_read = 0
         self.points_loaded = 0
+        # per-phase wall-time accumulators (seconds) for the load-path profile
+        self.t_decode = 0.0     # loader: file read + column decode
+        self.t_lwait = 0.0      # loader: blocked on pools/queues
+        self.t_copy = 0.0       # uploader: staging-plane fills
+        self.t_put = 0.0        # uploader: device_put issue
+        self.t_fence = 0.0      # uploader: waiting on H2D completion
+        self.t_uwait = 0.0      # uploader: blocked on queues/pools
         self.t_start = time.perf_counter()
 
         self._loaders = [threading.Thread(target=self._loader, daemon=True)
@@ -140,39 +223,75 @@ class PointStream:
     # --- loader threads (reference spawnLoader, :811-958) ---
     def _loader(self):
         translation = -self.box_min
+        from .. import native
         while not self._stop.is_set():
             with self._batch_lock:
                 if not self._batches:
                     break
                 ref = self._batches.popleft()
             e = ref.entry
-            if e.kind == "simlod":
-                # simlod files are rebased to their own origin; shift into the union
-                # frame. The native decoder fuses read+shift in one pass (C13 parity).
-                shift = (e.box_min + translation).astype(np.float32)
-                from .. import native
-                if native.available():
+            n = ref.count
+            if self._cols:
+                # pooled single-pass path: decode columns straight into a
+                # recycled buffer set; no allocation, no strided re-split
+                t0 = time.perf_counter()
+                bufs = self._batch_pool.get(self._stop)
+                self.t_lwait += time.perf_counter() - t0
+                if bufs is None:
+                    break
+                t0 = time.perf_counter()
+                ox, oy, oz, oc = bufs
+                if e.kind == "simlod":
+                    shift = (e.box_min + translation).astype(np.float32)
                     mm = np.memmap(e.path, dtype=np.uint8, mode="r",
                                    offset=simlod.HEADER_BYTES)
                     raw = mm[ref.first * simlod.POINT_BYTES:
-                             (ref.first + ref.count) * simlod.POINT_BYTES]
-                    xyz, rgba = native.decode_simlod(raw, ref.count, shift)
+                             (ref.first + n) * simlod.POINT_BYTES]
+                    native.decode_simlod_cols(raw, n, shift, ox, oy, oz, oc)
+                    nbytes = n * simlod.POINT_BYTES
+                elif e.kind == "las":
+                    hdr = e.header
+                    bpp = hdr.bytes_per_point
+                    mm = np.memmap(e.path, dtype=np.uint8, mode="r",
+                                   offset=hdr.offset_to_points)
+                    raw = mm[ref.first * bpp:(ref.first + n) * bpp]
+                    native.decode_las_cols(
+                        raw, n, bpp, las.RGB_OFFSET.get(hdr.format, -1),
+                        hdr.scale, hdr.offset,
+                        np.asarray(translation, np.float64), ox, oy, oz, oc)
+                    nbytes = n * bpp
                 else:
-                    xyz, rgba = simlod.read_points(e.path, ref.first, ref.count)
-                    xyz = xyz + shift[None, :]
-                nbytes = ref.count * simlod.POINT_BYTES
-            elif e.kind == "las":
-                xyz, rgba = las.read_points(e.header, ref.first, ref.count,
-                                            translation=translation)
-                nbytes = ref.count * e.header.bytes_per_point
+                    xyz, rgba = laz.read_points(e.path, ref.first, n,
+                                                translation=translation)
+                    ox[:n] = xyz[:, 0]
+                    oy[:n] = xyz[:, 1]
+                    oz[:n] = xyz[:, 2]
+                    oc[:n] = rgba
+                    nbytes = n * 8  # compressed estimate
+                self.t_decode += time.perf_counter() - t0
+                item = ("cols", bufs, n)
             else:
-                xyz, rgba = laz.read_points(e.path, ref.first, ref.count,
-                                            translation=translation)
-                nbytes = ref.count * 8  # compressed estimate
+                if e.kind == "simlod":
+                    shift = (e.box_min + translation).astype(np.float32)
+                    xyz, rgba = simlod.read_points(e.path, ref.first, n)
+                    xyz = xyz + shift[None, :]
+                    nbytes = n * simlod.POINT_BYTES
+                elif e.kind == "las":
+                    xyz, rgba = las.read_points(e.header, ref.first, n,
+                                                translation=translation)
+                    nbytes = n * e.header.bytes_per_point
+                else:
+                    xyz, rgba = laz.read_points(e.path, ref.first, n,
+                                                translation=translation)
+                    nbytes = n * 8
+                item = (xyz, rgba)
             with self._stats_lock:
-                self.points_loaded += len(xyz)
+                self.points_loaded += n
                 self.bytes_read += nbytes
-            if not self._put(self._loaded, (xyz, rgba)):
+            t0 = time.perf_counter()
+            ok = self._put(self._loaded, item)
+            self.t_lwait += time.perf_counter() - t0
+            if not ok:
                 break
         with self._active_lock:
             self._n_active_loaders -= 1
@@ -202,32 +321,80 @@ class PointStream:
         # feeds them to build_many verbatim (per-step device_put + on-device
         # restacking cost ~0.5 s of tiny-op dispatches per chunk over a
         # tunneled attachment).
-        acc = [np.zeros((K, B), np.float32) for _ in range(3)]
-        acc_rgba = np.zeros((K, B), np.uint32)
+        #
+        # The planes are POOLED (pre-touched, recycled): a plane set returns
+        # to the pool once its device transfer has completed. On the remote
+        # (tunneled) backend the fence below guarantees the wire has read the
+        # host buffer; on the in-process CPU backend device_put may alias the
+        # numpy buffer zero-copy, so there the uploader hands jax a fresh
+        # copy and recycles immediately.
+        zero_copy_risk = jax.default_backend() == "cpu"
+        planes = self._plane_pool.get(self._stop)
         counts = np.zeros((K,), np.int32)
         step = 0          # filled steps in the chunk
         fill = 0          # filled rows in the current step
 
+        def fence_one():
+            t0 = time.perf_counter()
+            arrs, pset = self._inflight.popleft()
+            for a in arrs:
+                a.block_until_ready()
+            self._plane_pool.put(pset)
+            self.t_fence += time.perf_counter() - t0
+
         def flush():
-            nonlocal acc, acc_rgba, counts, step, fill
+            nonlocal planes, counts, step, fill
+            if planes is None:
+                return
             if fill > 0:          # close the partial step
+                for p in planes:  # zero the tail: padded rows deterministic
+                    p[step, fill:] = 0
                 counts[step] = fill
                 step, fill = step + 1, 0
             if step == 0:
                 return
-            if K == 1:
-                cols = [jax.device_put(a[0], self.device) for a in acc]
-                cd = jax.device_put(acc_rgba[0], self.device)
-                item = (cols[0], cols[1], cols[2], cd, int(counts[0]))
+            for s in range(step, K):   # zero-count pad steps keep [K,B] static
+                for p in planes:
+                    p[s, :] = 0
+            src = [p[0] if K == 1 else p for p in planes]
+            if zero_copy_risk:
+                src = [np.array(s) for s in src]
+            t0 = time.perf_counter()
+            cols = [jax.device_put(s, self.device) for s in src]
+            self.t_put += time.perf_counter() - t0
+            item = (cols[0], cols[1], cols[2], cols[3],
+                    int(counts[0]) if K == 1 else counts.copy())
+            if zero_copy_risk:
+                self._plane_pool.put(planes)      # jax owns fresh copies
             else:
-                cols = [jax.device_put(a, self.device) for a in acc]
-                cd = jax.device_put(acc_rgba, self.device)
-                item = (cols[0], cols[1], cols[2], cd, counts.copy())
-            self._put(self._ready, item)
-            acc = [np.zeros((K, B), np.float32) for _ in range(3)]
-            acc_rgba = np.zeros((K, B), np.uint32)
+                self._inflight.append((cols, planes))
+                while len(self._inflight) >= self._max_inflight:
+                    fence_one()
             counts = np.zeros((K,), np.int32)
             step = 0
+            t0 = time.perf_counter()
+            planes = self._plane_pool.get(self._stop) \
+                if self._put(self._ready, item) else None
+            self.t_uwait += time.perf_counter() - t0
+
+        def consume(sx, sy, sz, sc, n):
+            nonlocal step, fill, counts
+            off = 0
+            while off < n and planes is not None:
+                t0 = time.perf_counter()
+                take = min(B - fill, n - off)
+                planes[0][step, fill:fill + take] = sx[off:off + take]
+                planes[1][step, fill:fill + take] = sy[off:off + take]
+                planes[2][step, fill:fill + take] = sz[off:off + take]
+                planes[3][step, fill:fill + take] = sc[off:off + take]
+                fill += take
+                off += take
+                self.t_copy += time.perf_counter() - t0
+                if fill == B:
+                    counts[step] = B
+                    step, fill = step + 1, 0
+                    if step == K:
+                        flush()
 
         while not self._stop.is_set():
             try:
@@ -236,22 +403,21 @@ class PointStream:
                 continue
             if item is None:
                 break
-            xyz, rgba = item
-            off = 0
-            while off < len(xyz):
-                take = min(B - fill, len(xyz) - off)
-                for a in range(3):
-                    acc[a][step, fill:fill + take] = xyz[off:off + take, a]
-                acc_rgba[step, fill:fill + take] = rgba[off:off + take]
-                fill += take
-                off += take
-                if fill == B:
-                    counts[step] = B
-                    step, fill = step + 1, 0
-                    if step == K:
-                        flush()
+            if planes is None:
+                break
+            if len(item) == 3 and item[0] == "cols":
+                _, bufs, n = item
+                consume(bufs[0], bufs[1], bufs[2], bufs[3], n)
+                self._batch_pool.put(bufs)
+            else:
+                xyz, rgba = item
+                consume(xyz[:, 0], xyz[:, 1], xyz[:, 2], rgba, len(xyz))
         if not self._stop.is_set():
             flush()
+        while self._inflight:
+            fence_one()
+        if planes is not None:
+            self._plane_pool.put(planes)
         self._put(self._ready, None)
 
     # --- consumer side ---
@@ -265,13 +431,17 @@ class PointStream:
     def stop(self):
         """Stop and join the pipeline; safe with backpressured (blocked) threads."""
         self._stop.set()
-        # drain so any put()-blocked thread can observe _stop and exit
+        # drain so any put()-blocked thread can observe _stop and exit;
+        # pooled column sets riding the queues return to their pool
         for q in (self._loaded, self._ready):
             while True:
                 try:
-                    q.get_nowait()
+                    item = q.get_nowait()
                 except queue.Empty:
                     break
+                if (isinstance(item, tuple) and len(item) == 3
+                        and item[0] == "cols"):
+                    self._batch_pool.put(item[1])
         for t in self._loaders:
             t.join(timeout=2.0)
         self._uploader.join(timeout=2.0)
@@ -281,4 +451,9 @@ class PointStream:
         return dict(points_loaded=self.points_loaded, bytes_read=self.bytes_read,
                     seconds=dt,
                     mps=self.points_loaded / dt / 1e6 if dt > 0 else 0.0,
-                    gbps=self.bytes_read / dt / 1e9 if dt > 0 else 0.0)
+                    gbps=self.bytes_read / dt / 1e9 if dt > 0 else 0.0,
+                    t_decode=round(self.t_decode, 3),
+                    t_lwait=round(self.t_lwait, 3),
+                    t_copy=round(self.t_copy, 3), t_put=round(self.t_put, 3),
+                    t_fence=round(self.t_fence, 3),
+                    t_uwait=round(self.t_uwait, 3))

@@ -51,6 +51,21 @@ def load() -> ctypes.CDLL | None:
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    for name in ("simlod_decode_las_cols", "simlod_decode_simlod_cols"):
+        fn = getattr(lib, name, None)
+        if fn is None:       # stale .so without the column entry points
+            continue
+        fn.restype = None
+    if hasattr(lib, "simlod_decode_las_cols"):
+        lib.simlod_decode_las_cols.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.simlod_decode_simlod_cols.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
     _LIB = lib
     return lib
 
@@ -84,6 +99,43 @@ def decode_simlod(raw: np.ndarray, n: int, shift: np.ndarray):
         np.ascontiguousarray(shift, np.float32).ctypes.data,
         xyz.ctypes.data, rgba.ctypes.data)
     return xyz, rgba
+
+
+def cols_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "simlod_decode_simlod_cols")
+
+
+def _col_views(ox, oy, oz, orgba, n):
+    for a in (ox, oy, oz):
+        assert a.flags.c_contiguous and a.dtype == np.float32 and a.size >= n
+    assert orgba.flags.c_contiguous and orgba.dtype == np.uint32 and orgba.size >= n
+    return ox.ctypes.data, oy.ctypes.data, oz.ctypes.data, orgba.ctypes.data
+
+
+def decode_simlod_cols(raw: np.ndarray, n: int, shift: np.ndarray,
+                       ox, oy, oz, orgba) -> None:
+    """decode_simlod writing x/y/z/rgba straight into caller-provided pooled
+    column buffers (the streaming staging planes) — one pass, no allocation."""
+    lib = load()
+    raw = np.ascontiguousarray(raw, np.uint8)
+    px, py, pz, pc = _col_views(ox, oy, oz, orgba, n)
+    lib.simlod_decode_simlod_cols(
+        raw.ctypes.data, n,
+        np.ascontiguousarray(shift, np.float32).ctypes.data, px, py, pz, pc)
+
+
+def decode_las_cols(raw: np.ndarray, n: int, bpp: int, rgb_off: int,
+                    scale, offset, trans, ox, oy, oz, orgba) -> None:
+    """decode_las writing into pooled column buffers (see decode_simlod_cols)."""
+    lib = load()
+    raw = np.ascontiguousarray(raw, np.uint8)
+    px, py, pz, pc = _col_views(ox, oy, oz, orgba, n)
+    lib.simlod_decode_las_cols(
+        raw.ctypes.data, n, bpp, rgb_off,
+        np.ascontiguousarray(scale, np.float64).ctypes.data,
+        np.ascontiguousarray(offset, np.float64).ctypes.data,
+        np.ascontiguousarray(trans, np.float64).ctypes.data, px, py, pz, pc)
 
 
 # --- LAZ codec (laszip_codec.c) ---
