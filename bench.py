@@ -233,11 +233,15 @@ def main() -> int:
             gb = gb + [(gb[0][0], gb[0][1], gb[0][2], gb[0][3], 0)]
         groups.append(gb)
 
+    # piece-wise staging: <= 16 MB per device_put (the tunnel's fast-path
+    # unit; bigger transfers collapse ~50x — simlod_tpu/io/transfer.py)
+    from simlod_tpu.io.transfer import device_put_plane
+
     def put_group(gb):
-        return (jax.device_put(np.stack([b[0] for b in gb])),
-                jax.device_put(np.stack([b[1] for b in gb])),
-                jax.device_put(np.stack([b[2] for b in gb])),
-                jax.device_put(np.stack([b[3] for b in gb])),
+        return (device_put_plane(np.stack([b[0] for b in gb])),
+                device_put_plane(np.stack([b[1] for b in gb])),
+                device_put_plane(np.stack([b[2] for b in gb])),
+                device_put_plane(np.stack([b[3] for b in gb])),
                 jax.device_put(np.asarray([b[4] for b in gb], np.int32)))
 
     staged0 = put_group(groups[0]) if not CHUNKED else None

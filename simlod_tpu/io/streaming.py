@@ -189,9 +189,10 @@ class PointStream:
                 n=max(4, ring_slots) + n_loaders + 2)
         K, B = self.chunk_steps, step_points
         set_bytes = 16 * K * B
-        # in-flight H2D cap ~192 MB: the tunneled runtime's transfer rate
-        # collapses ~30x when more than ~0.5 GB rides at once (h2d_bench)
-        self._max_inflight = max(1, min(ring_slots, (192 << 20) // set_bytes))
+        # in-flight H2D cap ~96 MB: the tunneled runtime rides a fast path only
+        # for <= 16 MB transfers and modest in-flight totals (io/transfer.py,
+        # scripts/h2d_bench.py) — each plane SET ships as 16 MB pieces below
+        self._max_inflight = max(1, min(ring_slots, (96 << 20) // set_bytes))
         self._plane_pool = _shared_pool(
             ("plane", K, B),
             lambda: (np.empty((K, B), np.float32), np.empty((K, B), np.float32),
@@ -360,7 +361,12 @@ class PointStream:
             if zero_copy_risk:
                 src = [np.array(s) for s in src]
             t0 = time.perf_counter()
-            cols = [jax.device_put(s, self.device) for s in src]
+            # piece-wise H2D: <= 16 MB per device_put (the tunneled runtime's
+            # fast-path unit; >= 32 MB transfers collapse ~50x — io/transfer.py)
+            # + one device-side concat per column to reassemble the plane
+            from .transfer import assemble, put_pieces
+            piece_lists = [put_pieces(s, self.device) for s in src]
+            cols = [assemble(pl) for pl in piece_lists]
             self.t_put += time.perf_counter() - t0
             item = (cols[0], cols[1], cols[2], cols[3],
                     int(counts[0]) if K == 1 else counts.copy())

@@ -1,0 +1,162 @@
+"""Screen-budgeted sample decimation: the draw pool.
+
+The reference draws EVERY stored point of every emitted leaf and every voxel of
+every emitted inner node (render.cu:161-634) — at a whole-dataset view that is
+10-20 MILLION point samples into ~2M covered pixels, pure overdraw the 4090
+brute-forces through hardware atomics. The TPU rasterizer's cost is
+sort+matmul over the sample window (docs/PERFORMANCE.md cost model), so frame
+cost must be proportional to SCREEN COVERAGE, not point count.
+
+The draw pool makes any per-node sample budget a O(1) slice:
+
+  - per node, a contiguous copy of its samples (leaf points; inner-node
+    voxels) ordered by a HASH of the sample's Morton words. Hash order makes
+    EVERY PREFIX of a node's range a deterministic uniform spatial subsample
+    (the Potree/progressive-rendering shuffled-order trick), so "draw k of n"
+    is a ragged prefix gather at aligned-row cost (~0.05 ns/element) — no
+    per-sample stride gathers (7 ns/row), no render-time shuffling.
+  - per-node storage is capped at cfg.draw_cap rows; nodes bigger than the
+    cap keep their exact path: LARGE emitted leaves (screen extent above the
+    2*minNodeSize threshold, the close-up regime) always render their full
+    point set from the primary pool.
+  - at render time visibility computes budget = point_budget * dx * dy
+    (samples ~ covered pixels, uniforms.point_budget is a Settings knob;
+    0 disables decimation entirely = exact reference semantics), and the
+    gather uses min(stored, budget) per node.
+
+Rebuild policy: the pool derives from (segments, voxel CSR), so the engine
+rebuilds it on its compaction cadence / before post-load renders; during
+streaming the current pool keeps rendering (new points appear with the next
+rebuild — bounded staleness, the same cadence the voxel CSR already has).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EngineConfig
+from ..octree.structures import OctreeState
+from ..ops import ragged
+from ..ops.fastops import gather1d
+
+I32_MAX = jnp.iinfo(jnp.int32).max
+
+
+class DrawPool(NamedTuple):
+    """Per-node hash-ordered sample copies + CSR directories ([NW] node cols)."""
+    pt_off: jax.Array      # [NW] i32
+    pt_cnt: jax.Array      # [NW] i32 (min(node points, draw_cap))
+    p_w0: jax.Array        # [PC] Morton words + color of the copied points
+    p_w1: jax.Array
+    p_w2: jax.Array
+    p_rgba: jax.Array      # u32
+    vx_off: jax.Array      # [NW] i32
+    vx_cnt: jax.Array      # [NW] i32 (min(node voxels, draw_cap))
+    v_k0: jax.Array        # [VC] global prefix keys + color of copied voxels
+    v_k1: jax.Array
+    v_k2l: jax.Array
+    v_rgba: jax.Array      # u32
+
+
+def _hash2(a: jax.Array, b: jax.Array) -> jax.Array:
+    """32-bit mix of two words (fxhash-style multiply-xor; determinism is the
+    point — the same node always yields the same prefix ordering)."""
+    h = (a.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)) ^ \
+        (b.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0xC2B2AE35)
+    return jax.lax.bitcast_convert_type(h ^ (h >> 13), jnp.int32)
+
+
+def _node_ranges(snode: jax.Array, total: jax.Array, node_window: int):
+    """Per-node (start, count) of the node-sorted stream via searchsorted over
+    the live node-id window (node ids ascend after the sort)."""
+    q = jnp.arange(node_window + 1, dtype=jnp.int32)
+    pos = jnp.searchsorted(snode, q, side="left").astype(jnp.int32)
+    pos = jnp.minimum(pos, total)
+    return pos[:-1], pos[1:] - pos[:-1]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def build_draw_pool(cfg: EngineConfig, state: OctreeState, pool_window: int,
+                    vox_window: int, node_window: int, cap: int) -> DrawPool:
+    """Build both draw pools (points + voxels) from the current state.
+
+    pool_window/vox_window are pow2 buckets >= the live watermarks (engine
+    picks them; a window smaller than the live data only truncates the copy —
+    counts clamp). node_window >= num_nodes. cap = cfg.draw_cap.
+    """
+    n_cap = state.child_base.shape[0]
+    NW = min(node_window, n_cap)
+
+    # --- leaf points: gather all live segments, sort by (node, hash) ---
+    sn = state.seg_node
+    ok = (state.seg_cnt > 0) & (sn >= 0)
+    counts = jnp.where(ok, state.seg_cnt, 0)
+    offs = jnp.where(ok, state.seg_off, 0)
+    p = ragged.plan(offs, counts, pool_window)
+    gw0 = ragged.gather_column(p, state.pt_w0)
+    gw1 = ragged.gather_column(p, state.pt_w1)
+    gw2 = ragged.gather_column(p, state.pt_w2)
+    grgba = ragged.gather_column(p, jax.lax.bitcast_convert_type(
+        state.pt_rgba, jnp.float32))
+    gnode = jnp.where(p.valid, ragged.broadcast_i32(p, jnp.clip(sn, 0, n_cap)),
+                      NW)
+    gnode = jnp.where(gnode < NW, gnode, NW)   # out-of-window nodes drop
+    h = _hash2(gw0 ^ gw2, gw1)
+    snode, _, sw0, sw1, sw2, srgba = jax.lax.sort(
+        (gnode, h, gw0, gw1, gw2, grgba), num_keys=2, is_stable=False)
+    total_p = jnp.sum((gnode < NW).astype(jnp.int32))
+    nstart, ncnt = _node_ranges(snode, total_p, NW)
+    pt_cnt = jnp.minimum(ncnt, cap)
+    # prefix gather of each node's first pt_cnt rows into the compact pool
+    PC = NW * 0 + (pool_window if cap * NW > pool_window else cap * NW)
+    PC = min(cap * NW, pool_window)
+    dp = ragged.plan(nstart, pt_cnt, PC)
+    srgba_u = jax.lax.bitcast_convert_type(srgba, jnp.uint32)
+    # gather_column needs 128-aligned sources; the sorted intermediates are
+    # pool_window-sized (pool_window % 128 == 0 by engine bucketing)
+    p_w0 = ragged.gather_column(dp, sw0)
+    p_w1 = ragged.gather_column(dp, sw1)
+    p_w2 = ragged.gather_column(dp, sw2)
+    p_rgba = jax.lax.bitcast_convert_type(
+        ragged.gather_column(dp, jax.lax.bitcast_convert_type(
+            srgba_u, jnp.float32)), jnp.uint32)
+    pt_off = jnp.where(pt_cnt > 0, dp.mpos, 0)
+    # dp.mpos marks each node's first output position; invalid (empty) nodes 0
+
+    # --- voxels: same over the compacted store's live prefix ---
+    rows = jnp.arange(vox_window, dtype=jnp.int32)
+    vvalid = rows < jnp.minimum(state.vox_compacted, vox_window)
+    vnode = jnp.where(vvalid, state.vox_node[:vox_window], NW)
+    vnode = jnp.where(vnode < NW, vnode, NW)
+    vh = _hash2(state.vox_k0[:vox_window] ^ state.vox_k2l[:vox_window],
+                state.vox_k1[:vox_window])
+    vsn, _, vk0, vk1, vk2l, vrgba = jax.lax.sort(
+        (vnode, vh, state.vox_k0[:vox_window], state.vox_k1[:vox_window],
+         state.vox_k2l[:vox_window],
+         jax.lax.bitcast_convert_type(state.vox_rgba[:vox_window], jnp.int32)),
+        num_keys=2, is_stable=False)
+    total_v = jnp.sum(vvalid.astype(jnp.int32))
+    vstart, vncnt = _node_ranges(vsn, total_v, NW)
+    vx_cnt = jnp.minimum(vncnt, cap)
+    VC = min(cap * NW, vox_window)
+    dv = ragged.plan(vstart, vx_cnt, VC)
+    v_k0 = ragged.gather_column(dv, vk0)
+    v_k1 = ragged.gather_column(dv, vk1)
+    v_k2l = ragged.gather_column(dv, vk2l)
+    v_rgba = jax.lax.bitcast_convert_type(
+        ragged.gather_column(dv, jax.lax.bitcast_convert_type(
+            vrgba, jnp.float32)), jnp.uint32)
+    vx_off = jnp.where(vx_cnt > 0, dv.mpos, 0)
+
+    pad_n = lambda a: jnp.concatenate(
+        [a, jnp.zeros((n_cap - NW,), jnp.int32)]) if NW < n_cap else a
+    return DrawPool(
+        pt_off=pad_n(pt_off), pt_cnt=pad_n(pt_cnt),
+        p_w0=p_w0, p_w1=p_w1, p_w2=p_w2, p_rgba=p_rgba,
+        vx_off=pad_n(vx_off), vx_cnt=pad_n(vx_cnt),
+        v_k0=v_k0, v_k1=v_k1, v_k2l=v_k2l, v_rgba=v_rgba)

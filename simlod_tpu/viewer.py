@@ -49,14 +49,38 @@ def encode_png(rgb: np.ndarray) -> bytes:
 _PAGE = """<!doctype html><html><head><title>simlod_tpu</title><style>
 body{margin:0;background:#111;color:#ddd;font:13px monospace;overflow:hidden}
 #hud{position:fixed;top:8px;left:8px;background:#000a;padding:8px;white-space:pre}
+#set{position:fixed;top:8px;right:8px;background:#000a;padding:8px}
+#set label{display:block;margin:2px 0}
+#set input[type=range]{vertical-align:middle;width:110px}
 canvas{display:block;cursor:grab}
 </style></head><body>
 <canvas id=c></canvas><div id=hud>loading...</div>
+<div id=set>
+ <b>settings</b>
+ <label><input type=checkbox id=hqs checked> high-quality shading</label>
+ <label><input type=checkbox id=edl checked> eye-dome lighting</label>
+ <label>EDL strength <input type=range id=edls min=0 max=2 step=0.05 value=0.4>
+  <span id=edlsv>0.4</span></label>
+ <label>minNodeSize <input type=range id=mns min=32 max=1024 step=8 value=64>
+  <span id=mnsv>64</span></label>
+ <label>point size <input type=range id=psz min=1 max=10 step=1 value=1>
+  <span id=pszv>1</span></label>
+ <label><input type=checkbox id=boxes> node boxes</label>
+ <label><input type=checkbox id=freeze> freeze LOD cut</label>
+ <label>color <select id=cmode><option value=0>rgb</option>
+  <option value=1>by node</option><option value=2>by LOD</option>
+  <option value=3>white</option></select></label>
+</div>
 <script>
 const cv=document.getElementById('c'),hud=document.getElementById('hud');
 let yaw=%YAW%,pitch=%PITCH%,radius=%RADIUS%,tx=%TX%,ty=%TY%,tz=%TZ%;
 let drag=null,busy=false,dirty=true;
 cv.width=%W%;cv.height=%H%;
+const el=id=>document.getElementById(id);
+for(const id of['hqs','edl','edls','mns','psz','boxes','freeze','cmode'])
+ el(id).oninput=()=>{el('edlsv').textContent=el('edls').value;
+  el('mnsv').textContent=el('mns').value;
+  el('pszv').textContent=el('psz').value;dirty=true};
 cv.onmousedown=e=>{drag={x:e.clientX,y:e.clientY,pan:e.shiftKey||e.button==2};e.preventDefault()};
 window.onmouseup=()=>drag=null;
 cv.oncontextmenu=e=>e.preventDefault();
@@ -72,7 +96,11 @@ window.onmousemove=e=>{if(!drag)return;
 window.onwheel=e=>{radius*=e.deltaY>0?1.1:0.9;dirty=true};
 async function loop(){
  if(dirty&&!busy){dirty=false;busy=true;
-  const q=`yaw=${yaw}&pitch=${pitch}&radius=${radius}&tx=${tx}&ty=${ty}&tz=${tz}`;
+  const q=`yaw=${yaw}&pitch=${pitch}&radius=${radius}&tx=${tx}&ty=${ty}&tz=${tz}`+
+   `&hqs=${el('hqs').checked?1:0}&edl=${el('edl').checked?1:0}`+
+   `&edls=${el('edls').value}&mns=${el('mns').value}&psz=${el('psz').value}`+
+   `&boxes=${el('boxes').checked?1:0}&freeze=${el('freeze').checked?1:0}`+
+   `&cmode=${el('cmode').value}`;
   try{
    const t0=performance.now();
    const r=await fetch('/frame?'+q);const b=await r.blob();
@@ -113,6 +141,22 @@ class ViewerServer:
             o.target = np.array([g("tx", o.target[0]), g("ty", o.target[1]),
                                  g("tz", o.target[2])], np.float64)
             eng.camera.world = o.world()
+            # settings panel (reference ImGui widgets,
+            # main_progressive_octree.cpp:1237-1368): all values ride Uniforms
+            # scalars, so toggling never retraces a program
+            s = eng.settings
+            s.use_high_quality_shading = g("hqs", s.use_high_quality_shading) > 0
+            s.enable_edl = g("edl", s.enable_edl) > 0
+            s.edl_strength = g("edls", s.edl_strength)
+            s.min_node_size = g("mns", s.min_node_size)
+            s.point_size = min(int(g("psz", s.point_size)),
+                               eng.cfg.max_point_size)
+            s.show_bounding_box = g("boxes", s.show_bounding_box) > 0
+            s.do_update_visibility = g("freeze", 0) == 0
+            cmode = int(g("cmode", 0))
+            s.color_by_node = cmode == 1
+            s.color_by_lod = cmode == 2
+            s.color_white = cmode == 3
             if (eng.stream is not None and not eng.last_batch_finished):
                 img, stats = eng.frame(self.width, self.height)   # simultaneous
             else:

@@ -119,3 +119,47 @@ def test_page_in_restores_points(built):
     assert built._paged_in == 1
     assert 0 not in built._resident or int(
         built._resident[0].pool_used) == 0
+
+
+def test_frustum_cull_skips_offscreen_bricks(built):
+    """A camera aimed into brick 0 with brick 1 outside the frustum renders
+    only brick 0 (host-side AABB cull; VERDICT r4 item 8)."""
+    o = built.orbit
+    saved = (o.yaw, o.pitch, o.radius, o.target.copy(),
+             built.camera.world.copy())
+    try:
+        # eye at x ~ 0.5 looking toward -x, away from brick 1 (bricks:
+        # x in [0, 0.9] and [1.0, 1.9] rebased; yaw pi/2 puts the orbit eye
+        # at target + (radius, 0, 0))
+        o.target = np.array([0.2, 0.45, 0.45], np.float64)
+        o.yaw, o.pitch, o.radius = np.pi / 2, 0.0, 0.3  # looking along -x
+        built.camera.world = o.world()
+        vis = built.visible_bricks(320, 200)
+        assert 1 not in vis
+        img, stats = built.render(320, 200)
+        assert built.last_drawn_bricks == vis
+        assert 1 not in stats
+    finally:
+        o.yaw, o.pitch, o.radius, o.target, built.camera.world = \
+            saved[0], saved[1], saved[2], saved[3], saved[4]
+
+
+def test_auto_page_closeup_policy(built):
+    """Camera inside a brick pages its points in; zooming far out evicts."""
+    o = built.orbit
+    saved = (o.yaw, o.pitch, o.radius, o.target.copy(),
+             built.camera.world.copy())
+    try:
+        o.target = np.array([0.45, 0.45, 0.45], np.float64)
+        o.yaw, o.pitch, o.radius = 0.0, -0.3, 0.2   # eye within brick 0
+        built.camera.world = o.world()
+        paged = built.auto_page(320, 200)
+        assert paged == 0 and built._paged_in == 0
+        # zoom far out: eye leaves every brick's neighborhood -> evict
+        o.radius = 50.0
+        built.camera.world = o.world()
+        paged = built.auto_page(320, 200)
+        assert paged is None and built._paged_in is None
+    finally:
+        o.yaw, o.pitch, o.radius, o.target, built.camera.world = \
+            saved[0], saved[1], saved[2], saved[3], saved[4]
