@@ -81,6 +81,12 @@ class EngineConfig:
     # ties resolve arbitrarily, in exchange for a cheaper comparator.
     raster_exact_tiebreak: bool = True
 
+    # Screen-budgeted decimation (render/drawpool.py): per-node rows stored in
+    # the draw pool. Nodes with more samples than this keep the exact
+    # primary-pool path, so any draw_cap is lossless when the budget clears
+    # the node's sample count. Multiple of 128 (pool rows stay lane-aligned).
+    draw_cap: int = 1 << 14
+
     # Render capacities
     max_render_points: int = 8 << 20      # visible point samples per frame (padded)
     max_render_voxels: int = 8 << 20      # visible voxel samples per frame (padded)
@@ -140,6 +146,14 @@ class Settings:
     # The reference GUI default is 0.8 (main...cpp:138) but the kernel hard-codes 0.4
     # (render.cu:1290); we honour the uniform and default to the kernel's effective value.
     edl_strength: float = 0.4
+    # Samples drawn per covered pixel per node (render/drawpool.py): a node's
+    # frame budget is point_budget * dx * dy of its screen extent; nodes under
+    # budget draw exactly. 0 disables decimation entirely — every stored
+    # sample of every emitted node is drawn, the reference's semantics
+    # (render.cu:161-634). The TPU rasterizer's cost scales with drawn
+    # samples (sort + kernel, not hardware-atomic overdraw), so the viewer
+    # and bench default this ON (1.0).
+    point_budget: float = 0.0
 
 
 @jax.tree_util.register_dataclass
@@ -168,6 +182,7 @@ class Uniforms:
     point_size: jax.Array                 # i32
     enable_edl: jax.Array                 # bool
     edl_strength: jax.Array               # f32
+    point_budget: jax.Array               # f32 samples/covered-pixel; 0 = exact
 
     @staticmethod
     def make(width: int, height: int, transform, transform_update_bound=None,
@@ -191,6 +206,7 @@ class Uniforms:
             lod=f32(s.lod), min_node_size=f32(s.min_node_size),
             point_size=jnp.asarray(s.point_size, jnp.int32),
             enable_edl=b(s.enable_edl), edl_strength=f32(s.edl_strength),
+            point_budget=f32(s.point_budget),
         )
 
 

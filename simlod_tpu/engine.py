@@ -29,8 +29,11 @@ from .config import EngineConfig, Settings, Stats, Uniforms
 from .io.streaming import PointStream
 from .octree import build
 from .octree.structures import OctreeState, init_state
+from .ops import ragged
 from .render import camera as camera_mod
-from .render.render import FrameStats, render_frame, render_frame_impl
+from .render import drawpool as drawpool_mod
+from .render.render import (FrameStats, probe_pooled_counts, render_frame,
+                            render_frame_impl, render_frame_pooled)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 9, 10, 11, 12),
@@ -113,6 +116,10 @@ class Timings:
                     max_ms=self.max * 1e3)
 
 
+def _pow2(n: int) -> int:
+    return 1 << max(n - 1, 1).bit_length()
+
+
 def _scan_bucket(k: int) -> int:
     """1-8-pow2 bucket (3-bit mantissa x pow2) for build_many scan lengths:
     bounded program variants across file sizes, <= 12.5% pad steps."""
@@ -167,6 +174,8 @@ class Engine:
         self.state = init_state(self.cfg, box_min, box_max)
         if self.device is not None:
             self.state = jax.device_put(self.state, self.device)
+        self._draw_pool = None
+        self._pool_key = None
         self._last_compacted = 0
         self.last_batch_finished = False
         self._capacity_flag = False
@@ -474,6 +483,50 @@ class Engine:
         self._last_counts = (int(self.state.num_nodes),
                              int(self.state.num_segments))
 
+    # --- draw pool (screen-budgeted decimation, render/drawpool.py) ---
+    _draw_pool = None
+    _pool_key = None
+
+    def _ensure_draw_pool(self) -> None:
+        """(Re)build the draw pool when the octree changed since the last
+        build. Callers have already force-compacted (the pool reads the exact
+        voxel CSR). The build is one sort+gather pass over the live pools —
+        a one-time cost amortized over every pooled frame until the next
+        ingest (bounded staleness: the rebuild cadence is the render call
+        itself on the post-load path)."""
+        key = (int(self.state.num_points_processed), int(self.state.num_nodes),
+               int(self.state.vox_compacted))
+        if self._draw_pool is not None and self._pool_key == key:
+            return
+        cap = self.cfg.draw_cap
+        live_segs = int(self.state.num_segments)
+        pool_w = _pow2(ragged.window_for(int(self.state.pool_used),
+                                         max(live_segs, 1)))
+        vox_w = _pow2(max(int(self.state.vox_compacted), 128))
+        node_w = directory_window(int(self.state.num_nodes),
+                                  self.cfg.node_capacity)
+        pc_need, vc_need = jax.jit(
+            lambda st: (jnp.sum(jnp.minimum(st.num_points, cap)),
+                        jnp.sum(jnp.minimum(st.num_voxels, cap))))(self.state)
+        live_nodes = int(self.state.num_nodes)
+        pc = _pow2(int(pc_need) + 256 * live_nodes + 128)
+        vc = _pow2(int(vc_need) + 256 * live_nodes + 128)
+        self._draw_pool = drawpool_mod.build_draw_pool(
+            self.cfg, self.state, pool_w, vox_w, node_w, cap,
+            min(pc, pool_w), min(vc, vox_w))
+        self._pool_key = key
+
+    def _pooled_windows(self, u):
+        pp, pv, ep, ev = (int(v) for v in probe_pooled_counts(
+            self.cfg, self.state, self._draw_pool, u))
+        prev = getattr(self, "_last_pool_windows", (1 << 18,) * 4)
+        ws = tuple(sample_window(n, p, cap) for n, p, cap in zip(
+            (pp, pv, ep, ev), prev,
+            (self.cfg.max_render_points, self.cfg.max_render_voxels,
+             self.cfg.max_render_points, self.cfg.max_render_voxels)))
+        self._last_pool_windows = ws
+        return ws
+
     def render(self, width: int, height: int):
         """Render-only frame -> (image u32 [H,W], Stats)."""
         # an exact CSR needs every tail append folded in (vox_voff/vcnt are only
@@ -481,10 +534,21 @@ class Engine:
         self._maybe_compact(
             force=int(self.state.vox_used) > int(self.state.vox_compacted))
         u = self.uniforms(width, height)
-        pw, vw, nw, sw = self._windows()
         t0 = time.perf_counter()
-        img, fstats = render_frame(self.cfg, self.state, width, height, u, pw, vw,
-                                   nw, sw)
+        if self.settings.point_budget > 0:
+            self._ensure_draw_pool()
+            ppw, pvw, epw, evw = self._pooled_windows(u)
+            nw = directory_window(int(self.state.num_nodes),
+                                  self.cfg.node_capacity)
+            sw = directory_window(int(self.state.num_segments),
+                                  self.cfg.segment_capacity)
+            img, fstats = render_frame_pooled(
+                self.cfg, self.state, self._draw_pool, width, height, u,
+                ppw, pvw, epw, evw, nw, sw)
+        else:
+            pw, vw, nw, sw = self._windows()
+            img, fstats = render_frame(self.cfg, self.state, width, height, u,
+                                       pw, vw, nw, sw)
         img.block_until_ready()
         self.t_render.add(time.perf_counter() - t0)
         self._note_visible(fstats)

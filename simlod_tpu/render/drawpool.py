@@ -80,14 +80,17 @@ def _node_ranges(snode: jax.Array, total: jax.Array, node_window: int):
     return pos[:-1], pos[1:] - pos[:-1]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
 def build_draw_pool(cfg: EngineConfig, state: OctreeState, pool_window: int,
-                    vox_window: int, node_window: int, cap: int) -> DrawPool:
+                    vox_window: int, node_window: int, cap: int,
+                    pc: int | None = None, vc: int | None = None) -> DrawPool:
     """Build both draw pools (points + voxels) from the current state.
 
     pool_window/vox_window are pow2 buckets >= the live watermarks (engine
     picks them; a window smaller than the live data only truncates the copy —
-    counts clamp). node_window >= num_nodes. cap = cfg.draw_cap.
+    counts clamp). node_window >= num_nodes. cap = cfg.draw_cap. pc/vc size
+    the output copies (engine: sum of per-node min(cnt, cap) + plan padding);
+    default cap*node_window clamped to the input windows.
     """
     n_cap = state.child_base.shape[0]
     NW = min(node_window, n_cap)
@@ -113,9 +116,12 @@ def build_draw_pool(cfg: EngineConfig, state: OctreeState, pool_window: int,
     nstart, ncnt = _node_ranges(snode, total_p, NW)
     pt_cnt = jnp.minimum(ncnt, cap)
     # prefix gather of each node's first pt_cnt rows into the compact pool
-    PC = NW * 0 + (pool_window if cap * NW > pool_window else cap * NW)
-    PC = min(cap * NW, pool_window)
+    PC = pc if pc is not None else min(cap * NW, pool_window)
     dp = ragged.plan(nstart, pt_cnt, PC)
+    # nodes whose copy overflows PC get cnt=0 — the renderer's split_masks
+    # routes pool-missing nodes to the exact path, so overflow degrades to
+    # exact cost, never to dropped samples
+    pt_cnt = jnp.where(dp.mpos + pt_cnt <= PC, pt_cnt, 0)
     srgba_u = jax.lax.bitcast_convert_type(srgba, jnp.uint32)
     # gather_column needs 128-aligned sources; the sorted intermediates are
     # pool_window-sized (pool_window % 128 == 0 by engine bucketing)
@@ -143,8 +149,9 @@ def build_draw_pool(cfg: EngineConfig, state: OctreeState, pool_window: int,
     total_v = jnp.sum(vvalid.astype(jnp.int32))
     vstart, vncnt = _node_ranges(vsn, total_v, NW)
     vx_cnt = jnp.minimum(vncnt, cap)
-    VC = min(cap * NW, vox_window)
+    VC = vc if vc is not None else min(cap * NW, vox_window)
     dv = ragged.plan(vstart, vx_cnt, VC)
+    vx_cnt = jnp.where(dv.mpos + vx_cnt <= VC, vx_cnt, 0)
     v_k0 = ragged.gather_column(dv, vk0)
     v_k1 = ragged.gather_column(dv, vk1)
     v_k2l = ragged.gather_column(dv, vk2l)
@@ -160,3 +167,103 @@ def build_draw_pool(cfg: EngineConfig, state: OctreeState, pool_window: int,
         p_w0=p_w0, p_w1=p_w1, p_w2=p_w2, p_rgba=p_rgba,
         vx_off=pad_n(vx_off), vx_cnt=pad_n(vx_cnt),
         v_k0=v_k0, v_k1=v_k1, v_k2l=v_k2l, v_rgba=v_rgba)
+
+
+# --- render-side: budgeted sample gathers -----------------------------------
+
+def node_budgets(cfg: EngineConfig, vis, uniforms) -> jax.Array:
+    """Per-node sample budget = point_budget * dx * dy of the node's screen
+    extent (samples ~ covered pixels; uniforms.point_budget is the Settings
+    knob). point_budget == 0 disables decimation: budget = INT_MAX."""
+    area = jnp.maximum(vis.dx, 0.0) * jnp.maximum(vis.dy, 0.0)
+    b = jnp.ceil(uniforms.point_budget * jnp.minimum(area, 2.0e9))
+    b = jnp.clip(b, 0.0, 2.0e9).astype(jnp.int32)
+    return jnp.where(uniforms.point_budget > 0.0, b, I32_MAX)
+
+
+def split_masks(cfg: EngineConfig, state: OctreeState, vis, pool: DrawPool):
+    """Partition emitted nodes between the pooled (budgeted) and exact paths.
+
+    Exact: LARGE emitted leaves (the close-up regime — extent above the
+    2*minNodeSize threshold, render.cu:861), any node whose sample count
+    exceeds draw_cap (its pool copy is truncated, so the budgeted path could
+    not draw it fully even under budget), and any node the pool MISSES —
+    nodes created after the pool build (staleness) or dropped by a pool-copy
+    overflow. Pool gaps therefore degrade to exact cost, never to dropped
+    samples. Everything else draws from the pool, where any prefix is a
+    deterministic uniform spatial subsample."""
+    n = pool.pt_cnt.shape[0]
+    ids = jnp.arange(state.num_points.shape[0], dtype=jnp.int32)
+    in_pool_p = (ids < n) & (gather1d(pool.pt_cnt, jnp.minimum(ids, n - 1)) > 0)
+    in_pool_v = (ids < n) & (gather1d(pool.vx_cnt, jnp.minimum(ids, n - 1)) > 0)
+    poolable_p = (state.num_points <= cfg.draw_cap) \
+        & (in_pool_p | (state.num_points == 0))
+    poolable_v = (state.num_voxels <= cfg.draw_cap) \
+        & (in_pool_v | (state.num_voxels == 0))
+    pool_pts = vis.emitted & ~vis.is_large & poolable_p
+    exact_pts = vis.emitted & (state.num_points > 0) \
+        & (vis.is_large | ~poolable_p)
+    pool_vox = vis.emitted & ~vis.is_large & poolable_v
+    exact_vox = vis.emitted & (state.num_voxels > 0) \
+        & (vis.is_large | ~poolable_v)
+    return pool_pts, exact_pts, pool_vox, exact_vox
+
+
+def _pool_take(mask, stored_cnt, budgets):
+    return jnp.where(mask, jnp.minimum(stored_cnt, budgets), 0)
+
+
+def gather_pool_points(cfg: EngineConfig, state: OctreeState, pool: DrawPool,
+                       take: jax.Array, window: int) -> "raster.Samples":
+    """Budgeted prefix gather of pooled leaf points -> Samples (hash order
+    makes the prefix a deterministic uniform subsample)."""
+    from . import raster
+    N = pool.pt_off.shape[0]
+    take = jnp.minimum(take[:N], pool.pt_cnt)
+    W = (window // 128) * 128
+    p = ragged.plan(jnp.where(take > 0, pool.pt_off, 0), take, W)
+    w0 = ragged.gather_column(p, pool.p_w0)
+    w1 = ragged.gather_column(p, pool.p_w1)
+    w2 = ragged.gather_column(p, pool.p_w2)
+    from ..ops import morton
+    qx, qy, qz = morton.decode(w0, w1, w2)
+    x, y, z = morton.dequantize_cols(qx, qy, qz, state.box_min, state.cube_size)
+    rgba = jax.lax.bitcast_convert_type(
+        ragged.gather_column(p, jax.lax.bitcast_convert_type(
+            pool.p_rgba, jnp.float32)), jnp.uint32)
+
+    def node_fn():
+        ids = jnp.arange(N, dtype=jnp.int32)
+        return jnp.where(p.valid, ragged.broadcast_i32(p, ids), 0)
+
+    def level_fn():
+        return gather1d(state.level, node_fn())
+
+    return raster.Samples(x=x, y=y, z=z, rgba=rgba, node_fn=node_fn,
+                          level_fn=level_fn, valid=p.valid,
+                          count=jnp.minimum(jnp.sum(take), W))
+
+
+def gather_pool_voxels(cfg: EngineConfig, state: OctreeState, pool: DrawPool,
+                       take: jax.Array, window: int) -> "raster.Samples":
+    """Budgeted prefix gather of pooled inner-node voxels -> Samples."""
+    from . import raster
+    N = pool.vx_off.shape[0]
+    take = jnp.minimum(take[:N], pool.vx_cnt)
+    W = (window // 128) * 128
+    p = ragged.plan(jnp.where(take > 0, pool.vx_off, 0), take, W)
+    k0 = ragged.gather_column(p, pool.v_k0)
+    k1 = ragged.gather_column(p, pool.v_k1)
+    k2l = ragged.gather_column(p, pool.v_k2l)
+    rgba = jax.lax.bitcast_convert_type(
+        ragged.gather_column(p, jax.lax.bitcast_convert_type(
+            pool.v_rgba, jnp.float32)), jnp.uint32)
+    x, y, z, lvl = raster.voxel_positions_from_keys(state, k0, k1, k2l)
+
+    def node_fn():
+        ids = jnp.arange(N, dtype=jnp.int32)
+        return jnp.where(p.valid, ragged.broadcast_i32(p, ids), 0)
+
+    return raster.Samples(x=x, y=y, z=z, rgba=rgba, node_fn=node_fn,
+                          level_fn=lambda: lvl, valid=p.valid,
+                          count=jnp.minimum(jnp.sum(take), W))

@@ -87,26 +87,15 @@ def gather_point_samples(cfg: EngineConfig, state: OctreeState,
         count=jnp.minimum(jnp.sum(counts), W))
 
 
-def gather_voxel_samples(cfg: EngineConfig, state: OctreeState,
-                         emitted: jax.Array, window: int | None = None) -> Samples:
-    """Expand emitted nodes' voxel ranges; positions are the stored cell centers
-    (reference sampleVoxel voxels.cu:103-115: nodeMin + nodeSize*(cell+0.5)/128).
-    Cell coords come from the global prefix keys (morton.key_words_decode)."""
-    counts = jnp.where(emitted, state.vox_vcnt, 0)
-    offs = jnp.where(emitted, state.vox_voff, 0)
-    W = ((window or cfg.max_render_voxels) // 128) * 128
-    p = ragged.plan(offs, counts, W)
-    k0 = ragged.gather_column(p, state.vox_k0)
-    k1 = ragged.gather_column(p, state.vox_k1)
-    k2l = ragged.gather_column(p, state.vox_k2l)
-    rgba = jax.lax.bitcast_convert_type(
-        ragged.gather_column(p, jax.lax.bitcast_convert_type(
-            state.vox_rgba, jnp.int32).astype(jnp.int32)), jnp.uint32)
-    # the global prefix key IS the voxel's absolute address: level rides k2l's
-    # low 5 bits and the decoded per-axis prefix q >> (MAX_DEPTH+1-level) is
-    # node coords (top bits) ++ 128^3 cell coords (low 7 bits). Deriving
-    # (level, nx..nz, cell) per row from the key replaces five per-segment
-    # broadcasts (one full-window cumsum each, ~0.75 ms/scan at 4M rows).
+def voxel_positions_from_keys(state: OctreeState, k0, k1, k2l):
+    """Voxel cell-center world positions from global prefix keys.
+
+    The global prefix key IS the voxel's absolute address: level rides k2l's
+    low 5 bits and the decoded per-axis prefix q >> (MAX_DEPTH+1-level) is
+    node coords (top bits) ++ 128^3 cell coords (low 7 bits). Deriving
+    (level, nx..nz, cell) per row from the key replaces five per-segment
+    broadcasts (one full-window cumsum each, ~0.75 ms/scan at 4M rows).
+    Returns (x, y, z, level)."""
     lvl = k2l & 31
     qx, qy, qz = morton.decode(k0, k1, k2l & ~31)
     shift = jnp.clip((C.MAX_DEPTH + 1) - lvl, 0, C.FULL_GRID_BITS)
@@ -122,6 +111,25 @@ def gather_voxel_samples(cfg: EngineConfig, state: OctreeState,
          + state.box_min[1]) + size * (((py & m).astype(jnp.float32) + 0.5) / g)
     z = ((pz >> C.GRID_BITS).astype(jnp.float32) * size
          + state.box_min[2]) + size * (((pz & m).astype(jnp.float32) + 0.5) / g)
+    return x, y, z, lvl
+
+
+def gather_voxel_samples(cfg: EngineConfig, state: OctreeState,
+                         emitted: jax.Array, window: int | None = None) -> Samples:
+    """Expand emitted nodes' voxel ranges; positions are the stored cell centers
+    (reference sampleVoxel voxels.cu:103-115: nodeMin + nodeSize*(cell+0.5)/128).
+    Cell coords come from the global prefix keys (morton.key_words_decode)."""
+    counts = jnp.where(emitted, state.vox_vcnt, 0)
+    offs = jnp.where(emitted, state.vox_voff, 0)
+    W = ((window or cfg.max_render_voxels) // 128) * 128
+    p = ragged.plan(offs, counts, W)
+    k0 = ragged.gather_column(p, state.vox_k0)
+    k1 = ragged.gather_column(p, state.vox_k1)
+    k2l = ragged.gather_column(p, state.vox_k2l)
+    rgba = jax.lax.bitcast_convert_type(
+        ragged.gather_column(p, jax.lax.bitcast_convert_type(
+            state.vox_rgba, jnp.int32).astype(jnp.int32)), jnp.uint32)
+    x, y, z, lvl = voxel_positions_from_keys(state, k0, k1, k2l)
 
     def node_fn():   # debug color modes only (colorByNode): lazy, costs a cumsum
         return jnp.where(p.valid, ragged.broadcast_i32(

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from ..config import EngineConfig, Uniforms
 from ..octree.structures import OctreeState
+from . import drawpool as drawpool_mod
 from . import lines as lines_mod
 from . import raster, raster_tiles, visibility
 
@@ -139,6 +140,129 @@ render_frame = functools.partial(
     jax.jit, static_argnums=(0, 2, 3, 5, 6, 7, 8))(render_frame_impl)
 render_components = functools.partial(
     jax.jit, static_argnums=(0, 2, 3, 5, 6, 7, 8))(render_components_impl)
+
+
+def _trim_pool(pool, node_window: int | None):
+    if node_window is None or node_window >= pool.pt_off.shape[0]:
+        return pool
+    nw = node_window
+    return pool._replace(pt_off=pool.pt_off[:nw], pt_cnt=pool.pt_cnt[:nw],
+                         vx_off=pool.vx_off[:nw], vx_cnt=pool.vx_cnt[:nw])
+
+
+def render_components_pooled_impl(cfg: EngineConfig, state: OctreeState,
+                                  pool, width: int, height: int,
+                                  uniforms: Uniforms,
+                                  pool_pw: int, pool_vw: int,
+                                  exact_pw: int, exact_vw: int,
+                                  node_window: int | None = None,
+                                  seg_window: int | None = None):
+    """Screen-budgeted frame: pooled (decimated) samples for small emitted
+    nodes + the exact path for large leaves and pool-truncated nodes (see
+    render/drawpool.py). Equal to render_components_impl whenever every
+    node's budget clears its sample count; frame cost tracks SCREEN COVERAGE
+    instead of stored sample count otherwise.
+
+    The pool derives from a specific state snapshot; nodes created after the
+    pool build have zero pooled rows, so callers rebuild the pool on their
+    compaction cadence (engine) before trusting pooled frames."""
+    over = (jnp.zeros((), jnp.bool_)
+            | (node_window is not None and state.num_nodes > node_window)
+            | (seg_window is not None and state.num_segments > seg_window))
+    state = _trim_directories(state, node_window, seg_window)
+    pool = _trim_pool(pool, node_window)
+    vis = visibility.compute_visibility(state, uniforms)
+    budgets = drawpool_mod.node_budgets(cfg, vis, uniforms)
+    m_pp, m_ep, m_pv, m_ev = drawpool_mod.split_masks(cfg, state, vis, pool)
+
+    pp = drawpool_mod.gather_pool_points(
+        cfg, state, pool, drawpool_mod._pool_take(m_pp, pool.pt_cnt, budgets),
+        pool_pw)
+    pv = drawpool_mod.gather_pool_voxels(
+        cfg, state, pool, drawpool_mod._pool_take(m_pv, pool.vx_cnt, budgets),
+        pool_vw)
+    ep = raster.gather_point_samples(cfg, state, m_ep, exact_pw)
+    ev = raster.gather_voxel_samples(cfg, state, m_ev, exact_vw)
+    sets = []
+    for s in (pp, pv, ep, ev):
+        sets.append(s._replace(valid=s.valid & uniforms.show_points))
+
+    if cfg.use_tile_raster and jax.default_backend() == "tpu":
+        color, depth = raster_tiles.rasterize_tiles(
+            cfg, uniforms, width, height, sets)
+    else:
+        color, depth = raster.rasterize(cfg, uniforms, width, height, sets)
+
+    def with_boxes(args):
+        color, depth = args
+        a, b, lc, lv = lines_mod.node_box_lines(state, vis.emitted,
+                                                cfg.max_render_lines)
+        fa, fb, fc, fv = lines_mod.frustum_lines(uniforms)
+        a = jnp.concatenate([a, fa])
+        b = jnp.concatenate([b, fb])
+        lc = jnp.concatenate([lc, fc])
+        lv = jnp.concatenate([lv, fv])
+        return lines_mod.rasterize_lines(cfg, uniforms, width, height,
+                                         color, depth, a, b, lc, lv)
+
+    color, depth = jax.lax.cond(uniforms.show_bounding_box, with_boxes,
+                                lambda args: args, (color, depth))
+
+    # truncation: any sample set outgrowing its window dropped drawn samples
+    trunc = (pp.count >= pool_pw) | (pv.count >= pool_vw) \
+        | (ep.count >= exact_pw) | (ev.count >= exact_vw) | over
+    stats = FrameStats(
+        num_visible_nodes=vis.num_visible_nodes,
+        num_visible_inner=vis.num_visible_inner,
+        num_visible_leaves=vis.num_visible_leaves,
+        num_visible_points=vis.num_visible_points,
+        num_visible_voxels=vis.num_visible_voxels,
+        truncated=trunc,
+    )
+    return color, depth, stats
+
+
+def render_frame_pooled_impl(cfg: EngineConfig, state: OctreeState, pool,
+                             width: int, height: int, uniforms: Uniforms,
+                             pool_pw: int, pool_vw: int, exact_pw: int,
+                             exact_vw: int, node_window: int | None = None,
+                             seg_window: int | None = None):
+    color, depth, stats = render_components_pooled_impl(
+        cfg, state, pool, width, height, uniforms, pool_pw, pool_vw,
+        exact_pw, exact_vw, node_window, seg_window)
+    color = raster.edl(color, depth, uniforms, width, height)
+    return color.reshape(height, width), stats
+
+
+render_frame_pooled = functools.partial(
+    jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11))(
+        render_frame_pooled_impl)
+render_components_pooled = functools.partial(
+    jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11))(
+        render_components_pooled_impl)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def probe_pooled_counts(cfg: EngineConfig, state: OctreeState, pool,
+                        uniforms: Uniforms):
+    """(pool_pts, pool_vox, exact_pts, exact_vox) drawn-sample counts for the
+    pooled path — sizes the four windows before compiling any raster program
+    (same role as probe_visible_counts for the exact path)."""
+    vis = visibility.compute_visibility(state, uniforms)
+    budgets = drawpool_mod.node_budgets(cfg, vis, uniforms)
+    m_pp, m_ep, m_pv, m_ev = drawpool_mod.split_masks(cfg, state, vis, pool)
+    n = pool.pt_cnt.shape[0]
+    tp = drawpool_mod._pool_take(m_pp[:n], pool.pt_cnt, budgets[:n])
+    tv = drawpool_mod._pool_take(m_pv[:n], pool.vx_cnt, budgets[:n])
+    # + 2*(128-1) per drawn node: the ragged plan's aligned-row phase padding
+    # (ops/ragged.py window_for) — the pooled window must cover it or frames
+    # truncate at exactly the probe-sized window
+    pad = 2 * 128
+    pp = jnp.sum(tp) + pad * jnp.sum((tp > 0).astype(jnp.int32))
+    pv = jnp.sum(tv) + pad * jnp.sum((tv > 0).astype(jnp.int32))
+    ep = jnp.sum(jnp.where(m_ep, state.num_points, 0))
+    ev = jnp.sum(jnp.where(m_ev, state.num_voxels, 0))
+    return pp, pv, ep, ev
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))

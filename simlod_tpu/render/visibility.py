@@ -30,6 +30,8 @@ class Visibility(NamedTuple):
     emitted: jax.Array          # [N] bool: node's samples are drawn this frame
     visible: jax.Array          # [N] bool
     is_large: jax.Array         # [N] bool
+    dx: jax.Array               # [N] f32 screen extent (render.cu:817)
+    dy: jax.Array               # [N] f32
     num_visible_nodes: jax.Array
     num_visible_inner: jax.Array
     num_visible_leaves: jax.Array
@@ -95,6 +97,7 @@ def compute_visibility(state: OctreeState, uniforms: Uniforms) -> Visibility:
     innerish = emitted & (state.num_points == 0) & (state.num_voxels > 0)
     return Visibility(
         emitted=emitted, visible=visible, is_large=is_large,
+        dx=dx, dy=dy,
         num_visible_nodes=asz(emitted),
         num_visible_inner=asz(innerish),
         num_visible_leaves=asz(leafish),

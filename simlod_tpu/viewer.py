@@ -65,6 +65,8 @@ canvas{display:block;cursor:grab}
   <span id=mnsv>64</span></label>
  <label>point size <input type=range id=psz min=1 max=10 step=1 value=1>
   <span id=pszv>1</span></label>
+ <label>point budget <input type=range id=pbud min=0 max=4 step=0.25 value=1>
+  <span id=pbudv>1</span></label>
  <label><input type=checkbox id=boxes> node boxes</label>
  <label><input type=checkbox id=freeze> freeze LOD cut</label>
  <label>color <select id=cmode><option value=0>rgb</option>
@@ -77,10 +79,11 @@ let yaw=%YAW%,pitch=%PITCH%,radius=%RADIUS%,tx=%TX%,ty=%TY%,tz=%TZ%;
 let drag=null,busy=false,dirty=true;
 cv.width=%W%;cv.height=%H%;
 const el=id=>document.getElementById(id);
-for(const id of['hqs','edl','edls','mns','psz','boxes','freeze','cmode'])
+for(const id of['hqs','edl','edls','mns','psz','pbud','boxes','freeze','cmode'])
  el(id).oninput=()=>{el('edlsv').textContent=el('edls').value;
   el('mnsv').textContent=el('mns').value;
-  el('pszv').textContent=el('psz').value;dirty=true};
+  el('pszv').textContent=el('psz').value;
+  el('pbudv').textContent=el('pbud').value;dirty=true};
 cv.onmousedown=e=>{drag={x:e.clientX,y:e.clientY,pan:e.shiftKey||e.button==2};e.preventDefault()};
 window.onmouseup=()=>drag=null;
 cv.oncontextmenu=e=>e.preventDefault();
@@ -100,7 +103,7 @@ async function loop(){
    `&hqs=${el('hqs').checked?1:0}&edl=${el('edl').checked?1:0}`+
    `&edls=${el('edls').value}&mns=${el('mns').value}&psz=${el('psz').value}`+
    `&boxes=${el('boxes').checked?1:0}&freeze=${el('freeze').checked?1:0}`+
-   `&cmode=${el('cmode').value}`;
+   `&cmode=${el('cmode').value}&pbud=${el('pbud').value}`;
   try{
    const t0=performance.now();
    const r=await fetch('/frame?'+q);const b=await r.blob();
@@ -151,6 +154,9 @@ class ViewerServer:
             s.min_node_size = g("mns", s.min_node_size)
             s.point_size = min(int(g("psz", s.point_size)),
                                eng.cfg.max_point_size)
+            # screen-budgeted decimation (render/drawpool.py): frame cost
+            # tracks screen coverage; 0 restores exact reference semantics
+            s.point_budget = g("pbud", s.point_budget)
             s.show_bounding_box = g("boxes", s.show_bounding_box) > 0
             s.do_update_visibility = g("freeze", 0) == 0
             cmode = int(g("cmode", 0))
