@@ -72,19 +72,26 @@ def main():
     def p_route(cfg, st, x, y, z, c, n):
         st, w = build.route(cfg, st, x, y, z, c, n)
         return (w.leaf.sum() + w.qx.sum() + w.lvl.sum()
-                + w.x.sum().astype(jnp.int32) + st.b_key0[:64].sum())
+                + w.w0.sum() + st.b_key0[:64].sum())
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def p_runs(cfg, st, x, y, z, c, n):
+        st, w = build.route(cfg, st, x, y, z, c, n)
+        runs = build.compute_runs(cfg, w)
+        return (w.leaf.sum() + w.qx.sum() + runs.r_cnt.sum()
+                + runs.r_leaf.sum() + st.b_key0[:64].sum())
 
     @functools.partial(jax.jit, static_argnums=0)
     def p_split(cfg, st, x, y, z, c, n):
         st, w = build.route(cfg, st, x, y, z, c, n)
-        st, w, runs = build.split_loop(cfg, st, w)
-        return chk(st) + w.leaf.sum() + runs.r_cnt.sum()
+        st, w, runs, spill_extra = build.split_loop(cfg, st, w)
+        return chk(st) + w.leaf.sum() + runs.r_cnt.sum() + spill_extra[0][:64].sum()
 
     @functools.partial(jax.jit, static_argnums=0)
     def p_vox(cfg, st, x, y, z, c, n):
         st, w = build.route(cfg, st, x, y, z, c, n)
-        st, w, runs = build.split_loop(cfg, st, w)
-        st = build.batch_voxel_candidates(cfg, st, w)
+        st, w, runs, spill_extra = build.split_loop(cfg, st, w)
+        st = build.batch_voxel_candidates(cfg, st, w, spill_extra)
         return chk(st) + w.leaf.sum() + runs.r_cnt.sum()
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -92,7 +99,8 @@ def main():
         st = build.build_step_impl(cfg, st, x, y, z, c, n)
         return chk(st)
 
-    progs = [("route", p_route), ("route+split", p_split),
+    progs = [("route", p_route), ("route+runs", p_runs),
+             ("route+split", p_split),
              ("route+split+vox", p_vox), ("full step", p_full)]
     times = {}
     for name, fn in progs:

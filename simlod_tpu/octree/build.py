@@ -44,8 +44,8 @@ import jax.numpy as jnp
 from .. import constants as C
 from ..config import EngineConfig
 from ..ops import morton
-from ..ops.segments import (compact_mask_via_sort, exclusive_cumsum,
-                            run_reduce_sum, run_starts)
+from ..ops.segments import (compact_indices, compact_mask_via_sort,
+                            exclusive_cumsum, run_reduce_sum, run_starts)
 from ..ops.fastops import gather1d
 from ..ops import ragged
 from .structures import OctreeState
@@ -124,9 +124,15 @@ def route(cfg: EngineConfig, state: OctreeState, x: jax.Array, y: jax.Array,
     pk0 = jnp.where(valid, w0, mx)
     pk1 = jnp.where(valid, (w1 << 1) | 1, mx)
 
-    # Re-sort the boundary window (splits appended unsorted rows at the tail last
-    # step). The sort is stable so a stale parent row stays BEFORE the child-0 row
-    # that shares its key (the child was appended later) and is never carried.
+    # Re-sort the boundary window (splits appended unsorted rows at the tail
+    # last step). Key ties happen only along a stale-ancestor chain (a split
+    # parent's interval start equals its child 0's); the LIVE leaf is the
+    # newest/deepest of the chain, so its pack (id*32+lvl, ids allocated
+    # monotonically) is the chain MAX — the pack itself is the tiebreak KEY,
+    # making this 3-key sort of the SMALL window order-deterministic without
+    # stability. The delta encoding below then telescopes every tie group to
+    # that max under ANY later permutation (sums are permutation-invariant),
+    # which is what lets the batch-wide merge sort drop stability too.
     state.mem_capacity_reached = state.mem_capacity_reached | \
         (state.num_boundaries > W)
     brow = jnp.arange(W, dtype=jnp.int32)
@@ -134,7 +140,9 @@ def route(cfg: EngineConfig, state: OctreeState, x: jax.Array, y: jax.Array,
     bk0 = jnp.where(bvalid, state.b_key0[:W], mx)
     bk1 = jnp.where(bvalid, state.b_key1[:W], mx)
     sb0, sb1, sbp = jax.lax.sort(
-        (bk0, bk1, state.b_pack[:W]), num_keys=2, is_stable=True)
+        (bk0, bk1, jnp.where(bvalid, state.b_pack[:W], mx)), num_keys=3,
+        is_stable=False)
+    sbp = jnp.where(jnp.arange(W) < state.num_boundaries, sbp, 0)
     dus = jax.lax.dynamic_update_slice
     state.b_key0 = dus(state.b_key0, sb0, (0,))
     state.b_key1 = dus(state.b_key1, sb1, (0,))
@@ -159,8 +167,13 @@ def route(cfg: EngineConfig, state: OctreeState, x: jax.Array, y: jax.Array,
     # the flag bit of the sorted key separates them afterwards
     aux = jnp.concatenate([jax.lax.bitcast_convert_type(rgba, jnp.int32),
                            bdelta])
+    # unstable merge (see the boundary resort above): boundary tie groups are
+    # carry-safe under any permutation, point-vs-boundary ties are impossible
+    # (flag bit), and among exact-duplicate POINTS only the voxel color winner
+    # of a shared cell becomes order-defined — the same set the reference's
+    # atomicOr race leaves undefined (voxels.cu:93-119)
     sk0, sk1, sk2, saux = jax.lax.sort(
-        (k0, k1, k2, aux), num_keys=2, is_stable=True)
+        (k0, k1, k2, aux), num_keys=2, is_stable=False)
 
     is_pt = ((sk1 & 1) == 1) & (sk0 != mx)   # real points only (mx fill excluded)
     is_bnd = ((sk1 & 1) == 0) & (sk0 != mx)
@@ -197,8 +210,10 @@ def compute_runs(cfg: EngineConfig, work: Work) -> Runs:
     # created by this step's split rounds are adjacent with no junk between)
     starts = valid & (~prev_valid | (work.leaf != jnp.roll(work.leaf, 1)))
     RW = min(cfg.run_window, B)
-    (r_row_f,), n_runs = compact_mask_via_sort(starts, (rowi,))
-    r_row = r_row_f[:RW]
+    # single-key unstable index compaction (ops/segments.compact_indices):
+    # the compacted value IS the row index, so no payload rides the sort
+    r_row_f, n_runs = compact_indices(starts)
+    r_row = jnp.minimum(r_row_f[:RW], B)   # INT_MAX tail -> clamp
     rw_i = jnp.arange(RW, dtype=jnp.int32)
     rv = rw_i < jnp.minimum(n_runs, RW)
     # a run's valid rows are contiguous from its start (junk sits before the
@@ -438,13 +453,16 @@ def split_loop(cfg: EngineConfig, state: OctreeState, work: Work,
     state.mem_capacity_reached = state.mem_capacity_reached | \
         jnp.any(over & ~node_room)
 
-    (tids_c, trow_c, tcnt_c), _ = compact_mask_via_sort(
-        take, (runs.r_leaf, runs.r_row, runs.r_cnt))
+    sel_r, _ = compact_indices(take)          # index sort, payloads gathered
     tv = jnp.arange(K1, dtype=jnp.int32) < n_take1
-    tids = jnp.where(tv, tids_c[:K1], -1)
+    srows = jnp.where(tv, jnp.minimum(sel_r[:K1], RW - 1), 0)
+    tids_c = gather1d(runs.r_leaf, srows)
+    trow_c = gather1d(runs.r_row, srows)
+    tcnt_c = gather1d(runs.r_cnt, srows)
+    tids = jnp.where(tv, tids_c, -1)
     tsafe = jnp.maximum(tids, 0)
-    tstart = jnp.where(tv, trow_c[:K1], B)
-    tend = jnp.where(tv, trow_c[:K1] + tcnt_c[:K1], B)
+    tstart = jnp.where(tv, trow_c, B)
+    tend = jnp.where(tv, trow_c + tcnt_c, B)
     total_spill = jnp.sum(jnp.where(take, pts, 0))
 
     # --- gather the taken nodes' stored points ONCE; sort by full Morton key ---
@@ -460,8 +478,7 @@ def split_loop(cfg: EngineConfig, state: OctreeState, work: Work,
         memflag = memflag | (state.num_segments > SGW)
         s_sel = (state.seg_cnt[:SGW] > 0) & (state.seg_node[:SGW] >= 0) & \
             just[jnp.clip(state.seg_node[:SGW], 0, n_cap - 1)]
-        (sel_full,), n_sel = compact_mask_via_sort(
-            s_sel, (jnp.arange(SGW, dtype=jnp.int32),))
+        sel_full, n_sel = compact_indices(s_sel)
         memflag = memflag | (n_sel > SS)
         sv = jnp.arange(SS, dtype=jnp.int32) < n_sel
         ssafe = jnp.where(sv, sel_full[:SS], 0)
@@ -679,11 +696,12 @@ def split_loop(cfg: EngineConfig, state: OctreeState, work: Work,
             (skey, s_leaf, sgoff), num_keys=3, is_stable=False)
         starts = svalid & ((o_seg != jnp.roll(o_seg, 1))
                            | (o_leaf != jnp.roll(o_leaf, 1)) | (srow == 0))
-        (r_leaf, r_goff, r_pos), n_runs_all = compact_mask_via_sort(
-            starts, (o_leaf, o_goff, srow))
-        r_leaf, r_goff, r_pos = r_leaf[:RUNW], r_goff[:RUNW], r_pos[:RUNW]
+        pos_f, n_runs_all = compact_indices(starts)
         rw_i = jnp.arange(RUNW, dtype=jnp.int32)
         rok = rw_i < n_runs_all
+        r_pos = jnp.where(rok, jnp.minimum(pos_f[:RUNW], SPW - 1), 0)
+        r_leaf = gather1d(o_leaf, r_pos)
+        r_goff = gather1d(o_goff, r_pos)
         nxt = jnp.where(rw_i + 1 < n_runs_all,
                         jnp.concatenate([r_pos[1:], r_pos[:1]]), n_spill)
         r_len = jnp.where(rok, nxt - r_pos, 0)

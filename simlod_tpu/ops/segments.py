@@ -103,6 +103,21 @@ def compact_mask_via_sort(mask: jnp.ndarray, payloads):
     return out[1:], jnp.sum(mask.astype(jnp.int32))
 
 
+def compact_indices(mask: jnp.ndarray):
+    """Row indices of True rows, front-compacted ascending; (idx, count).
+
+    ONE unstable single-key sort of `where(mask, iota, INT_MAX)` — about half
+    the comparator of the stable (!mask)-key-plus-payloads form (stability
+    costs an implicit tiebreak key; ~4 ns/row/key on v5e), and no payload
+    traffic. Rows past `count` hold INT_MAX; callers gather payloads at the
+    compacted indices, which is cheap when the selected count is small."""
+    n = mask.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(mask, idx, jnp.iinfo(jnp.int32).max)
+    out = jax.lax.sort((key,), num_keys=1, is_stable=False)[0]
+    return out, jnp.sum(mask.astype(jnp.int32))
+
+
 def next_start_pos(starts: jnp.ndarray) -> jnp.ndarray:
     """For each row, the position of the next run start strictly after it (n if none)."""
     n = starts.shape[0]
