@@ -174,9 +174,10 @@ def main() -> int:
             eng.load_all()
             _ = int(eng.state.num_nodes)
             dt = time.perf_counter() - t0
+            st = eng.stream.stats()
             eng.stream.stop()
             log(f"file rep{rep}: {dt:.2f}s = {FILE_POINTS/dt/1e6:.2f} MP/s "
-                f"(nodes {int(eng.state.num_nodes)})")
+                f"(nodes {int(eng.state.num_nodes)}) stream={st}")
             t_file = min(t_file, dt)
         file_mps = FILE_POINTS / t_file / 1e6
         log(f"file e2e ({FILE_POINTS} pts): {t_file:.2f}s = {file_mps:.1f} MP/s")
@@ -432,6 +433,10 @@ def main() -> int:
             voxel_capacity=1 << 26, segment_capacity=1 << 21,
             step_points=STEP_POINTS, spill_capacity=1 << 19,
             seg_select_cap=2048,
+            # ONE step per fused dispatch: frame pacing at the reference's
+            # granularity (<=20 x 1M batches/frame, voxels.cu:883) — the
+            # load-path K-step chunks would make every frame ingest 8M points
+            steps_per_dispatch=1,
             max_render_points=4 << 20, max_render_voxels=4 << 20)
         for rep in ("warm", "timed"):
             eng = Engine(sf_cfg)
@@ -478,10 +483,13 @@ def main() -> int:
             seg_select_cap=2048,
             max_render_points=2 << 20, max_render_voxels=2 << 20)
         ooc = OutOfCoreEngine(ocfg)
-        ooc.open(opaths)
-        t0 = time.perf_counter()
-        ooc.build_all()
-        ooc_build_s = round(time.perf_counter() - t0, 2)
+        for rep in ("warm", "timed"):   # rep 0 pays the brick-shape compiles
+            ooc.open(opaths)
+            t0 = time.perf_counter()
+            ooc.build_all()
+            dt = time.perf_counter() - t0
+            log(f"ooc build {rep}: {dt:.1f}s")
+        ooc_build_s = round(dt, 2)
         ooc.orbit.focus_box(ooc.global_min, ooc.global_max)
         ooc.camera.world = ooc.orbit.world()
         img, _os = ooc.render(WIDTH, HEIGHT)   # compile + materialize

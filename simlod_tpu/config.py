@@ -85,7 +85,11 @@ class EngineConfig:
     # the draw pool. Nodes with more samples than this keep the exact
     # primary-pool path, so any draw_cap is lossless when the budget clears
     # the node's sample count. Multiple of 128 (pool rows stay lane-aligned).
-    draw_cap: int = 1 << 14
+    # MUST clear max_points_per_node (50k): full leaves are the common case on
+    # dense data, and a cap below their occupancy routes them all to the
+    # exact path — measured at the 64M bench view, a 16384 cap left ~80% of
+    # the frame's samples undecimated.
+    draw_cap: int = 1 << 16
 
     # Render capacities
     max_render_points: int = 8 << 20      # visible point samples per frame (padded)
