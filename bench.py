@@ -97,9 +97,14 @@ def main() -> int:
         # beats round count (see docs/PERFORMANCE.md round 2)
         spill_capacity=1 << 19,
         seg_select_cap=2048,
-        max_render_points=4 << 20,
-        # the 64M frame draws ~6.5M visible voxels; a 4M cap truncated it in
-        # round 2 (VERDICT weak #2) — the window cap must clear the visible set
+        # The 64M bench camera sees 21.7M leaf points: full reference
+        # semantics would need a ~28M-row pixel pipeline, which this
+        # attachment's remote compiler rejects (HTTP 500 at 32M ceilings).
+        # The exact frame therefore reports truncated=true at this camera
+        # (round 3 silently benched the same truncation); the pooled
+        # screen-budgeted frame is the headline and draws its full
+        # budget-capped sample set.
+        max_render_points=8 << 20,
         max_render_voxels=8 << 20,
     )
 
@@ -253,9 +258,24 @@ def main() -> int:
             state = init_state(cfg, np.zeros(3, np.float32), box_max)
         staged = staged0 if staged0 is not None else put_group(groups[0])
         for gi in range(len(groups)):
-            nxt = put_group(groups[gi + 1]) if gi + 1 < len(groups) else None
             state = build.build_many(cfg, state, *staged)
-            staged = nxt
+            if gi + 1 < len(groups):
+                # fence: an H2D issued against an in-flight donated dispatch
+                # makes the runtime copy the whole donated state (~GBs; the
+                # deep 256M child OOM'd exactly here) — serialize instead
+                jax.block_until_ready(state.num_nodes)
+                staged = put_group(groups[gi + 1])
+                jax.block_until_ready(staged[:4])
+            else:
+                staged = None
+        # end-of-load split convergence (Engine.finish_splits contract): the
+        # timed build must produce a tree satisfying the <=50k leaf invariant
+        # (round 3 benched 16 unconverged leaves, VERDICT r3 weak #8)
+        for _ in range(32):
+            ids, n_over = build.overfull_leaf_ids(cfg, state)
+            if int(n_over) == 0:
+                break
+            state = build.split_finish(cfg, state, ids)
         state = build.compact_voxels_auto(cfg, state)
         return state
 
@@ -311,16 +331,18 @@ def main() -> int:
         return 1 << max(n - 1, 1).bit_length()
 
     def build_pool(st):
+        from simlod_tpu.engine import _size_bucket
         capd = cfg.draw_cap
-        pool_w = pow2(ragged_mod.window_for(int(st.pool_used),
-                                            max(int(st.num_segments), 1)))
-        vox_w = pow2(max(int(st.vox_compacted), 128))
+        pool_w = _size_bucket(ragged_mod.window_for(
+            int(st.pool_used), max(int(st.num_segments), 1)))
+        vox_w = min(_size_bucket(max(int(st.vox_compacted), 128)),
+                    (st.vox_k0.shape[0] // 128) * 128)
         node_w = directory_window(int(st.num_nodes), cfg.node_capacity)
         need = jax.jit(lambda s: (jnp.sum(jnp.minimum(s.num_points, capd)),
                                   jnp.sum(jnp.minimum(s.num_voxels, capd))))(st)
         live = int(st.num_nodes)
-        pc = pow2(int(need[0]) + 256 * live + 128)
-        vc = pow2(int(need[1]) + 256 * live + 128)
+        pc = _size_bucket(int(need[0]) + 256 * live + 128)
+        vc = _size_bucket(int(need[1]) + 256 * live + 128)
         return drawpool_mod.build_draw_pool(cfg, st, pool_w, vox_w, node_w,
                                             capd, pc, vc)
 
@@ -343,7 +365,7 @@ def main() -> int:
             img, fstats = fn()
         jax.block_until_ready(img)
         ms = (time.perf_counter() - t0) / n_frames * 1e3
-        log(f"render[{label}]: {ms:.2f} ms")
+        log(f"render[{label}]: {ms:.2f} ms truncated={bool(fstats.truncated)}")
         return ms, fstats
 
     def pooled_render_ms(rcfg, width, height, label):
@@ -555,7 +577,8 @@ def main() -> int:
                            "BENCH_DEEP_POINTS", 256_000_000))),
                        BENCH_FILE="0", BENCH_STREAMFRAME="0", BENCH_OOC="0",
                        BENCH_SHARDED="0", BENCH_DEEP="0", BENCH_POOLED="0",
-                       BENCH_4K="1", BENCH_NO_WATCHDOG="1")
+                       BENCH_4K="1", BENCH_NO_WATCHDOG="1",
+                       BENCH_GROUP="8")
             log("deep phase: spawning 256M child...")
             try:
                 out = subprocess.run(

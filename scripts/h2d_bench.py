@@ -46,6 +46,12 @@ def main():
                              for _ in range(4)])
     run("1x512MB flat f32", [np.ones(512 * MB // 4, np.float32)])
     run("1x64MB flat u32", [np.ones(64 * MB // 4, np.uint32)])
+    # sustained rate past the idle burst credit: a whole 64M-file's worth of
+    # 16MB pieces (what the load pipeline actually ships)
+    rng = np.random.default_rng(0)
+    run("64x16MB (1GB of pieces)",
+        [rng.random(16 * MB // 4).astype(np.float32) for _ in range(64)],
+        reps=2)
 
 
 if __name__ == "__main__":

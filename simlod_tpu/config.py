@@ -88,8 +88,11 @@ class EngineConfig:
     # MUST clear max_points_per_node (50k): full leaves are the common case on
     # dense data, and a cap below their occupancy routes them all to the
     # exact path — measured at the 64M bench view, a 16384 cap left ~80% of
-    # the frame's samples undecimated.
-    draw_cap: int = 1 << 16
+    # the frame's samples undecimated. Inner nodes on steep terrain hold up
+    # to ~200k voxels (128^2 surface cells x slope factor), so the cap sits
+    # above that; nodes beyond it (near-root inner nodes) are never emitted
+    # by the LOD rule anyway (they are 'large', so their children draw).
+    draw_cap: int = 1 << 18
 
     # Render capacities
     max_render_points: int = 8 << 20      # visible point samples per frame (padded)

@@ -120,6 +120,15 @@ def _pow2(n: int) -> int:
     return 1 << max(n - 1, 1).bit_length()
 
 
+def _size_bucket(n: int) -> int:
+    """1-8-pow2 size bucket rounded to 128 lanes (<= 12.5% pad — plain pow2
+    doubles a 65M draw pool to 128M rows)."""
+    n = max(n, 256)
+    b = max((n - 1).bit_length() - 3, 0)
+    n = ((n + (1 << b) - 1) >> b) << b
+    return ((n + 127) // 128) * 128
+
+
 def _scan_bucket(k: int) -> int:
     """1-8-pow2 bucket (3-bit mantissa x pow2) for build_many scan lengths:
     bounded program variants across file sizes, <= 12.5% pad steps."""
@@ -500,20 +509,20 @@ class Engine:
             return
         cap = self.cfg.draw_cap
         live_segs = int(self.state.num_segments)
-        pool_w = _pow2(ragged.window_for(int(self.state.pool_used),
-                                         max(live_segs, 1)))
-        vox_w = _pow2(max(int(self.state.vox_compacted), 128))
+        pool_w = _size_bucket(ragged.window_for(int(self.state.pool_used),
+                                                max(live_segs, 1)))
+        vox_w = min(_size_bucket(max(int(self.state.vox_compacted), 128)),
+                    (self.state.vox_k0.shape[0] // 128) * 128)
         node_w = directory_window(int(self.state.num_nodes),
                                   self.cfg.node_capacity)
         pc_need, vc_need = jax.jit(
             lambda st: (jnp.sum(jnp.minimum(st.num_points, cap)),
                         jnp.sum(jnp.minimum(st.num_voxels, cap))))(self.state)
         live_nodes = int(self.state.num_nodes)
-        pc = _pow2(int(pc_need) + 256 * live_nodes + 128)
-        vc = _pow2(int(vc_need) + 256 * live_nodes + 128)
+        pc = _size_bucket(int(pc_need) + 256 * live_nodes + 128)
+        vc = _size_bucket(int(vc_need) + 256 * live_nodes + 128)
         self._draw_pool = drawpool_mod.build_draw_pool(
-            self.cfg, self.state, pool_w, vox_w, node_w, cap,
-            min(pc, pool_w), min(vc, vox_w))
+            self.cfg, self.state, pool_w, vox_w, node_w, cap, pc, vc)
         self._pool_key = key
 
     def _pooled_windows(self, u):

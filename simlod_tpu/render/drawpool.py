@@ -184,14 +184,18 @@ def node_budgets(cfg: EngineConfig, vis, uniforms) -> jax.Array:
 def split_masks(cfg: EngineConfig, state: OctreeState, vis, pool: DrawPool):
     """Partition emitted nodes between the pooled (budgeted) and exact paths.
 
-    Exact: LARGE emitted leaves (the close-up regime — extent above the
-    2*minNodeSize threshold, render.cu:861), any node whose sample count
-    exceeds draw_cap (its pool copy is truncated, so the budgeted path could
-    not draw it fully even under budget), and any node the pool MISSES —
-    nodes created after the pool build (staleness) or dropped by a pool-copy
-    overflow. Pool gaps therefore degrade to exact cost, never to dropped
-    samples. Everything else draws from the pool, where any prefix is a
-    deterministic uniform spatial subsample."""
+    The budget applies to EVERY emitted node, large close-up leaves included:
+    at point_budget >= 1 a node whose screen extent exceeds its sample count
+    is uncut (budget = dx*dy >= cnt), so close-ups keep full detail while
+    grazing-distance nodes — where the reference brute-forces overdraw
+    through hardware atomics (render.cu:95-99) — draw in proportion to their
+    coverage.
+
+    Exact path: any node whose sample count exceeds draw_cap (its pool copy
+    is truncated, so the budgeted path could not draw it fully even under a
+    clearing budget) and any node the pool MISSES — created after the pool
+    build (staleness) or dropped by a pool-copy overflow. Pool gaps therefore
+    degrade to exact cost, never to dropped samples."""
     n = pool.pt_cnt.shape[0]
     ids = jnp.arange(state.num_points.shape[0], dtype=jnp.int32)
     in_pool_p = (ids < n) & (gather1d(pool.pt_cnt, jnp.minimum(ids, n - 1)) > 0)
@@ -200,12 +204,10 @@ def split_masks(cfg: EngineConfig, state: OctreeState, vis, pool: DrawPool):
         & (in_pool_p | (state.num_points == 0))
     poolable_v = (state.num_voxels <= cfg.draw_cap) \
         & (in_pool_v | (state.num_voxels == 0))
-    pool_pts = vis.emitted & ~vis.is_large & poolable_p
-    exact_pts = vis.emitted & (state.num_points > 0) \
-        & (vis.is_large | ~poolable_p)
-    pool_vox = vis.emitted & ~vis.is_large & poolable_v
-    exact_vox = vis.emitted & (state.num_voxels > 0) \
-        & (vis.is_large | ~poolable_v)
+    pool_pts = vis.emitted & poolable_p
+    exact_pts = vis.emitted & (state.num_points > 0) & ~poolable_p
+    pool_vox = vis.emitted & poolable_v
+    exact_vox = vis.emitted & (state.num_voxels > 0) & ~poolable_v
     return pool_pts, exact_pts, pool_vox, exact_vox
 
 
