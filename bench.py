@@ -92,10 +92,11 @@ def main() -> int:
         voxel_capacity=voxcap,
         segment_capacity=1 << 21,
         step_points=STEP_POINTS,
-        # tight spill budget: the split loop spreads big cascades over more
-        # rounds, but each round's window passes cost SPW rows — utilization
-        # beats round count (see docs/PERFORMANCE.md round 2)
-        spill_capacity=1 << 19,
+        # spill budget must exceed any leaf's stored count at take time
+        # (~leaf cap + its single-step inflow): the 0.5M budget of rounds 2-3
+        # let hot leaves lock up unsplittable (see build.split_loop priority
+        # selection); 1M keeps the split windows small without that risk
+        spill_capacity=1 << 20,
         seg_select_cap=2048,
         # The 64M bench camera sees 21.7M leaf points: full reference
         # semantics would need a ~28M-row pixel pipeline, which this
@@ -153,7 +154,7 @@ def main() -> int:
             node_capacity=1 << 19,
             point_capacity=max(FILE_POINTS + (1 << 20), 1 << 24),
             voxel_capacity=1 << 26, segment_capacity=1 << 21,
-            step_points=STEP_POINTS, spill_capacity=1 << 19,
+            step_points=STEP_POINTS, spill_capacity=1 << 20,
             seg_select_cap=2048,
             max_render_points=4 << 20, max_render_voxels=4 << 20)
         path = os.path.join(tempfile.gettempdir(), f"bench_{FILE_POINTS}.simlod")
@@ -453,7 +454,7 @@ def main() -> int:
             node_capacity=1 << 19,
             point_capacity=max(n_sf + (1 << 20), 1 << 24),
             voxel_capacity=1 << 26, segment_capacity=1 << 21,
-            step_points=STEP_POINTS, spill_capacity=1 << 19,
+            step_points=STEP_POINTS, spill_capacity=1 << 20,
             seg_select_cap=2048,
             # ONE step per fused dispatch: frame pacing at the reference's
             # granularity (<=20 x 1M batches/frame, voxels.cu:883) — the
@@ -501,7 +502,7 @@ def main() -> int:
             node_capacity=1 << 18,
             point_capacity=n_ob + (1 << 20),   # ONE brick fits, the union not
             voxel_capacity=1 << 25, segment_capacity=1 << 20,
-            step_points=STEP_POINTS, spill_capacity=1 << 19,
+            step_points=STEP_POINTS, spill_capacity=1 << 20,
             seg_select_cap=2048,
             max_render_points=2 << 20, max_render_voxels=2 << 20)
         ooc = OutOfCoreEngine(ocfg)
@@ -543,7 +544,7 @@ def main() -> int:
             node_capacity=1 << 19,
             point_capacity=max(n_sh + (1 << 20), 1 << 24),
             voxel_capacity=1 << 26, segment_capacity=1 << 21,
-            step_points=STEP_POINTS, spill_capacity=1 << 19,
+            step_points=STEP_POINTS, spill_capacity=1 << 20,
             seg_select_cap=2048,
             max_render_points=2 << 20, max_render_voxels=2 << 20)
         best = float("inf")

@@ -441,21 +441,35 @@ def split_loop(cfg: EngineConfig, state: OctreeState, work: Work,
     over = (rvalid & (cb_r < 0)
             & (counter_r + runs.r_cnt > cfg.max_points_per_node)
             & (level_r < cfg.max_depth))
-    rank = jnp.cumsum(over.astype(jnp.int32))          # inclusive
-    pts = jnp.where(over, counter_r, 0)
-    pts_ex = exclusive_cumsum(pts)
-    segs = jnp.where(over, gather1d(state.node_seg_count, lsafe), 0)
-    segs_ex = exclusive_cumsum(segs)
-    node_room = (state.num_nodes + 8 * rank) <= n_cap
-    take = (over & (rank <= K1) & (pts_ex + pts <= cfg.spill_capacity)
-            & (segs_ex + segs <= cfg.seg_select_cap) & node_room)
-    n_take1 = jnp.sum(take.astype(jnp.int32))
+    # PRIORITY selection, biggest (stored + batch) first: budget starvation
+    # must not compound. In run order, a hot leaf's split can be deferred by
+    # the spill/seg budgets every step while it keeps absorbing batches; once
+    # its stored count exceeds spill_capacity it can NEVER split (the spill
+    # gather window is static) — the 64M bench grew three such leaves holding
+    # 21M points. Greedy big-first bounds any leaf's stored count at take
+    # time by ~(leaf cap + its single-step inflow), which spill_capacity is
+    # sized to cover. One extra 1-key sort over the RW run window (~131k).
+    prio = jnp.where(over, -(counter_r + runs.r_cnt), I32_MAX)
+    _, perm = jax.lax.sort((prio, jnp.arange(RW, dtype=jnp.int32)),
+                           num_keys=1, is_stable=False)
+    over_p = gather1d(over.astype(jnp.int32), perm) > 0
+    cnt_p = gather1d(counter_r, perm)
+    rank_p = jnp.cumsum(over_p.astype(jnp.int32))      # inclusive
+    pts_p = jnp.where(over_p, cnt_p, 0)
+    pts_ex = exclusive_cumsum(pts_p)
+    segs_p = jnp.where(over_p, gather1d(state.node_seg_count,
+                                        gather1d(lsafe, perm)), 0)
+    segs_ex = exclusive_cumsum(segs_p)
+    node_room = (state.num_nodes + 8 * rank_p) <= n_cap
+    take_p = (over_p & (rank_p <= K1) & (pts_ex + pts_p <= cfg.spill_capacity)
+              & (segs_ex + segs_p <= cfg.seg_select_cap) & node_room)
+    n_take1 = jnp.sum(take_p.astype(jnp.int32))
     state.mem_capacity_reached = state.mem_capacity_reached | \
-        jnp.any(over & ~node_room)
+        jnp.any(over_p & ~node_room)
 
-    sel_r, _ = compact_indices(take)          # index sort, payloads gathered
+    sel_p, _ = compact_indices(take_p)        # positions in priority order
     tv = jnp.arange(K1, dtype=jnp.int32) < n_take1
-    srows = jnp.where(tv, jnp.minimum(sel_r[:K1], RW - 1), 0)
+    srows = gather1d(perm, jnp.where(tv, jnp.minimum(sel_p[:K1], RW - 1), 0))
     tids_c = gather1d(runs.r_leaf, srows)
     trow_c = gather1d(runs.r_row, srows)
     tcnt_c = gather1d(runs.r_cnt, srows)
@@ -463,7 +477,7 @@ def split_loop(cfg: EngineConfig, state: OctreeState, work: Work,
     tsafe = jnp.maximum(tids, 0)
     tstart = jnp.where(tv, trow_c, B)
     tend = jnp.where(tv, trow_c + tcnt_c, B)
-    total_spill = jnp.sum(jnp.where(take, pts, 0))
+    total_spill = jnp.sum(jnp.where(take_p, pts_p, 0))
 
     # --- gather the taken nodes' stored points ONCE; sort by full Morton key ---
     just = jnp.zeros((n_cap,), jnp.bool_).at[
