@@ -6,11 +6,19 @@ RTX 4090 + PCIe5 SSD (reference README.md:21; see BASELINE.md). The Morro Bay
 datasets are not redistributable, so the bench streams a synthetic lidar-like terrain
 (scan-line ordered; see simlod_tpu/formats/synthetic.py) with the same octree
 parameters (50k leaf cap, 128^3 voxel grids).
+
+Survivability contract (VERDICT r4 item 1 — round 4 recorded rc=124 and NO numbers):
+  - a global wall-clock deadline (BENCH_DEADLINE, default 1500 s) is checked before
+    every phase; phases that don't fit are skipped and listed in "skipped";
+  - headline phases (device build, renders) run FIRST;
+  - SIGTERM/SIGINT print the partial result JSON before exiting, so even a driver
+    kill records every number measured up to that point.
 """
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -22,6 +30,53 @@ FILE_BENCH = int(os.environ.get("BENCH_FILE", 1))  # disk->decode->H2D->build e2
 FILE_POINTS = int(os.environ.get("BENCH_FILE_POINTS", N_POINTS))
 WIDTH, HEIGHT = 1920, 1080
 BASELINE_MPS = 400.0
+DEADLINE = float(os.environ.get("BENCH_DEADLINE", 1500))
+
+T_START = time.perf_counter()
+
+# the one result object; updated in place after every phase so a signal/exception
+# can always emit whatever has been measured so far
+RESULT = {
+    "metric": "LOD octree ingest throughput (synthetic lidar terrain)",
+    "value": None, "unit": "MP/s", "vs_baseline": None,
+    "points": N_POINTS, "skipped": [],
+}
+_EMITTED = False
+
+
+def _emit_and_exit(code: int):
+    global _EMITTED
+    if not _EMITTED:
+        _EMITTED = True
+        print(json.dumps(RESULT), flush=True)
+    os._exit(code)
+
+
+def _on_signal(signum, frame):
+    RESULT["killed_by_signal"] = int(signum)
+    _emit_and_exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGINT, _on_signal)
+
+
+def log(msg):
+    print(f"[bench] {time.perf_counter()-T_START:7.1f}s {msg}",
+          file=sys.stderr, flush=True)
+
+
+def time_left() -> float:
+    return DEADLINE - (time.perf_counter() - T_START)
+
+
+def phase_fits(name: str, need_s: float) -> bool:
+    if time_left() < need_s:
+        log(f"phase {name} skipped: {time_left():.0f}s left < {need_s:.0f}s "
+            "needed")
+        RESULT["skipped"].append(name)
+        return False
+    return True
 
 
 def _devices_with_watchdog():
@@ -63,7 +118,6 @@ def _devices_with_watchdog():
 
 
 def main() -> int:
-    T_START = time.perf_counter()
     _devices_with_watchdog()
     import jax
     import jax.numpy as jnp
@@ -79,6 +133,9 @@ def main() -> int:
     from simlod_tpu.render.render import render_frame
 
     platform = jax.devices()[0].platform
+    RESULT["platform"] = platform
+    if os.environ.get("BENCH_FALLBACK"):
+        RESULT["fallback"] = os.environ["BENCH_FALLBACK"]
 
     exact_tb = not int(os.environ.get("RASTER_FAST_TIEBREAK", 0))
     # raw (pre-compaction) voxel appends scale with point count: 64M points
@@ -122,6 +179,8 @@ def main() -> int:
         except OSError:
             pass
     box_max = xyz.max(axis=0)
+    log(f"platform={platform} points={N_POINTS} step={cfg.step_points} "
+        f"deadline={DEADLINE:.0f}s")
 
     B = cfg.step_points
     n_steps = (N_POINTS + B - 1) // B
@@ -135,102 +194,11 @@ def main() -> int:
         cc[: hi - lo] = rgba[lo:hi]
         batches.append((cols[0], cols[1], cols[2], cc, hi - lo))
 
-    def log(msg):
-        print(f"[bench] {msg}", file=sys.stderr, flush=True)
-
-    log(f"platform={platform} points={N_POINTS} step={cfg.step_points}")
-
-    # --- file-based end-to-end: disk -> decode -> H2D -> build ---
-    # (measured FIRST: a heavily-used process/device measurably degrades
-    # later dispatches on the tunneled attachment — clean-room ordering)
-    # (the reference's headline metric is a drag-drop load from disk, README.md:21)
-    file_mps = None
-    fmt_extras = {}
-    if FILE_BENCH:
-        import tempfile
-        from simlod_tpu.engine import Engine
-        from simlod_tpu.formats import simlod as simlod_fmt
-        fcfg = EngineConfig(
-            node_capacity=1 << 19,
-            point_capacity=max(FILE_POINTS + (1 << 20), 1 << 24),
-            voxel_capacity=1 << 26, segment_capacity=1 << 21,
-            step_points=STEP_POINTS, spill_capacity=1 << 20,
-            seg_select_cap=2048,
-            max_render_points=4 << 20, max_render_voxels=4 << 20)
-        path = os.path.join(tempfile.gettempdir(), f"bench_{FILE_POINTS}.simlod")
-        if not os.path.exists(path):
-            t_c = time.perf_counter()
-            simlod_fmt.write(path, xyz[:FILE_POINTS], rgba[:FILE_POINTS])
-            log(f"wrote {path} in {time.perf_counter()-t_c:.0f}s")
-        eng = Engine(fcfg)
-        # warm pass compiles the chunked programs; the SECOND pass is a
-        # sacrificial rep — the first run after a compile storm on the tunneled
-        # runtime pays a large one-time degradation (measured ~10x at 16M);
-        # steady-state starts at the third pass
-        for label in ("warm", "sacrificial"):
-            t_c = time.perf_counter()
-            eng.open([path])
-            eng.load_all()
-            log(f"file {label} load in {time.perf_counter()-t_c:.0f}s")
-            eng.stream.stop()
-        t_file = float("inf")
-        for rep in range(2):   # best-of-2: tunnel-runtime variance is large
-            t0 = time.perf_counter()
-            eng.open([path])
-            eng.load_all()
-            _ = int(eng.state.num_nodes)
-            dt = time.perf_counter() - t0
-            st = eng.stream.stats()
-            eng.stream.stop()
-            log(f"file rep{rep}: {dt:.2f}s = {FILE_POINTS/dt/1e6:.2f} MP/s "
-                f"(nodes {int(eng.state.num_nodes)}) stream={st}")
-            t_file = min(t_file, dt)
-        file_mps = FILE_POINTS / t_file / 1e6
-        log(f"file e2e ({FILE_POINTS} pts): {t_file:.2f}s = {file_mps:.1f} MP/s")
-
-        # --- per-format phases (reference README.md:10: LAS 200-300 /
-        # LAZ ~30 / simlod up to 580 MP/s on a 4090 + 16-core host; this
-        # host has ONE core, so decode-bound formats scale accordingly) ---
-        from simlod_tpu.formats import las as las_fmt
-        from simlod_tpu.formats import laz as laz_fmt
-        n_las = int(os.environ.get("BENCH_LAS_POINTS",
-                                   min(FILE_POINTS, 16_000_000)))
-        n_laz = int(os.environ.get("BENCH_LAZ_POINTS",
-                                   min(FILE_POINTS, 4_000_000)))
-        las_path = os.path.join(tempfile.gettempdir(), f"bench_{n_las}.las")
-        laz_path = os.path.join(tempfile.gettempdir(), f"bench_{n_laz}.laz")
-        if not os.path.exists(las_path):
-            t_c = time.perf_counter()
-            las_fmt.write(las_path, xyz[:n_las], rgba[:n_las])
-            log(f"wrote {las_path} in {time.perf_counter()-t_c:.0f}s")
-        if not os.path.exists(laz_path):
-            t_c = time.perf_counter()
-            laz_fmt.write(laz_path, xyz[:n_laz], rgba[:n_laz])
-            log(f"wrote {laz_path} in {time.perf_counter()-t_c:.0f}s")
-        for kind, pth, npts in (("las", las_path, n_las),
-                                ("laz", laz_path, n_laz)):
-            best = float("inf")
-            for rep in range(2):
-                laz_fmt._cache.clear()   # honest e2e: decode every rep
-                t0 = time.perf_counter()
-                eng.open([pth])
-                eng.load_all()
-                _ = int(eng.state.num_nodes)
-                dt = time.perf_counter() - t0
-                eng.stream.stop()
-                best = min(best, dt)
-            fmt_extras[f"file_{kind}_mps"] = round(npts / best / 1e6, 2)
-            log(f"file {kind} e2e ({npts} pts): {best:.2f}s = "
-                f"{npts/best/1e6:.2f} MP/s")
-        del eng
-
-
-    # --- pipelined ingest: batches device-resident, scan dispatches ---
-    # One dispatch over the fully-staged stack at bench sizes (H2D excluded
-    # from the timer, same semantics as rounds 1-2). Above ~96M points the
-    # staged stack alone is >1.5 GB, so groups of GROUP steps are device_put
-    # and dispatched in sequence with the NEXT group's (async) H2D riding
-    # along — the timer then brackets the whole streamed rebuild.
+    # =====================================================================
+    # Phase 1 (headline): device-resident build — batches staged on device,
+    # the timer brackets the octree construction dispatches only (the
+    # reference's update-kernel points/sec, main_progressive_octree.cpp:1488)
+    # =====================================================================
     GROUP = int(os.environ.get(
         "BENCH_GROUP", 16 if N_POINTS > 96_000_000 else 0)) or len(batches)
     CHUNKED = GROUP < len(batches)
@@ -292,6 +260,7 @@ def main() -> int:
     # bench timed an unconverged build.
     n_overfull = int(build.overfull_leaf_ids(cfg, state)[1])
     log(f"overfull leaves post-build: {n_overfull}")
+    RESULT["overfull_leaves"] = n_overfull
     # two timed reps, best-of (rep 0 can still carry residual post-compile
     # degradation on the tunneled runtime)
     t_build = float("inf")
@@ -307,14 +276,20 @@ def main() -> int:
         t_build = min(t_build, dt)
     mps = N_POINTS / t_build / 1e6
     del staged0
+    RESULT.update(value=round(mps, 2), vs_baseline=round(mps / BASELINE_MPS, 4),
+                  build_seconds=round(t_build, 3), num_nodes=num_nodes,
+                  num_voxels=int(state.vox_used),
+                  candidates_dropped=int(state.num_candidates_dropped))
 
-    # --- timed renders ---
+    # =====================================================================
+    # Phase 2 (headline): timed renders.
     # Headline render: screen-budgeted draw pool (render/drawpool.py — frame
     # cost tracks screen coverage, the TPU-native answer to the reference's
     # atomic-overdraw brute force) + 2-key pixel sort (winner DEPTH exact;
     # only equal-(pixel,depth) color ties are comparator-defined — VERDICT r3
     # item 2). The exact-reference-semantics frame (every stored sample, 3-key
     # u64-atomicMin tiebreak) is recorded alongside as render_ms_1080p_exact.
+    # =====================================================================
     import dataclasses as _dc
     from simlod_tpu.engine import directory_window, sample_window
     from simlod_tpu.render import drawpool as drawpool_mod
@@ -323,24 +298,18 @@ def main() -> int:
                                           render_frame_pooled)
     from simlod_tpu.ops import ragged as ragged_mod
 
-    c = cam.Camera(width=WIDTH, height=HEIGHT)
-    orbit = cam.OrbitControls()
-    orbit.focus_box(np.zeros(3), box_max)
-    c.world = orbit.world()
-
     def pow2(n):
         return 1 << max(n - 1, 1).bit_length()
 
     def build_pool(st):
-        from simlod_tpu.engine import _size_bucket
+        from simlod_tpu.engine import _size_bucket, _pool_need
         capd = cfg.draw_cap
         pool_w = _size_bucket(ragged_mod.window_for(
             int(st.pool_used), max(int(st.num_segments), 1)))
         vox_w = min(_size_bucket(max(int(st.vox_compacted), 128)),
                     (st.vox_k0.shape[0] // 128) * 128)
         node_w = directory_window(int(st.num_nodes), cfg.node_capacity)
-        need = jax.jit(lambda s: (jnp.sum(jnp.minimum(s.num_points, capd)),
-                                  jnp.sum(jnp.minimum(s.num_voxels, capd))))(st)
+        need = _pool_need(st, capd)
         live = int(st.num_nodes)
         pc = _size_bucket(int(need[0]) + 256 * live + 128)
         vc = _size_bucket(int(need[1]) + 256 * live + 128)
@@ -349,12 +318,19 @@ def main() -> int:
 
     USE_POOLED = os.environ.get("BENCH_POOLED", "1") == "1"
     pool = None
+    pool_build_s = None
     if USE_POOLED:
         t_c = time.perf_counter()
         pool = build_pool(state)
         jax.block_until_ready(pool.pt_off)
-        pool_build_s0 = time.perf_counter() - t_c
-        log(f"draw pool built in {pool_build_s0:.1f}s")
+        log(f"draw pool built (compile-inclusive) in "
+            f"{time.perf_counter()-t_c:.1f}s")
+        t_c = time.perf_counter()
+        pool = build_pool(state)
+        jax.block_until_ready(pool.pt_off)
+        pool_build_s = time.perf_counter() - t_c
+        log(f"draw pool steady-state rebuild in {pool_build_s:.2f}s")
+        RESULT["pool_build_s"] = round(pool_build_s, 2)
 
     def timed_render(fn, label, n_frames=5):
         t_c = time.perf_counter()
@@ -388,7 +364,18 @@ def main() -> int:
             lambda: render_frame_pooled(rcfg, state, pool, width, height, uu,
                                         *ws, nw, sw), label)
 
+    c = cam.Camera(width=WIDTH, height=HEIGHT)
+    orbit = cam.OrbitControls()
+    orbit.focus_box(np.zeros(3), box_max)
+    c.world = orbit.world()
+
     cfg_fast = _dc.replace(cfg, raster_exact_tiebreak=False)
+    fstats = None
+    if USE_POOLED:
+        render_ms, fstats = pooled_render_ms(cfg_fast, WIDTH, HEIGHT,
+                                             "pooled+2key 1080p")
+        RESULT["render_ms_1080p"] = round(render_ms, 2)
+
     # exact-semantics reference frame (all samples, 3-key tiebreak)
     u = Uniforms.make(WIDTH, HEIGHT, c.transform(), settings=Settings())
     nvp, nvv = probe_visible_counts(state, u)  # cheap: no raster compiled
@@ -396,19 +383,13 @@ def main() -> int:
     vw = sample_window(int(nvv), 0, cfg.max_render_voxels)
     nw = directory_window(int(state.num_nodes), cfg.node_capacity)
     sw = directory_window(int(state.num_segments), cfg.segment_capacity)
-    render_ms_exact, fstats = timed_render(
+    render_ms_exact, fstats_e = timed_render(
         lambda: render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw, nw, sw),
         "exact+3key 1080p")
-
-    # BENCH_POOLED=0 (deep-scale child): the draw-pool build sorts the whole
-    # point pool — at 256M+ that intermediate would contend with the resident
-    # state for HBM, so the deep phase records the exact path only
-    pool_build_s = pool_build_s0 if USE_POOLED else None
-    if USE_POOLED:
-        render_ms, fstats_p = pooled_render_ms(cfg_fast, WIDTH, HEIGHT,
-                                               "pooled+2key 1080p")
-    else:
-        render_ms = render_ms_exact
+    RESULT["render_ms_1080p_exact"] = round(render_ms_exact, 2)
+    if fstats is None:
+        fstats = fstats_e
+        RESULT["render_ms_1080p"] = round(render_ms_exact, 2)
 
     render_4k_ms = None
     if N_POINTS >= 192_000_000 or os.environ.get("BENCH_4K"):
@@ -427,21 +408,116 @@ def main() -> int:
             render_4k_ms, _ = timed_render(
                 lambda: render_frame(cfg, state, 3840, 2160, u4, pw4, vw4,
                                      nw, sw), "exact 4k")
+        RESULT["render_ms_4k"] = round(render_4k_ms, 2)
 
-    num_voxels = int(state.vox_used)
-    cand_dropped = int(state.num_candidates_dropped)
-    vis_pts = int(fstats.num_visible_points)
-    vis_vox = int(fstats.num_visible_voxels)
+    RESULT["visible_points"] = int(fstats.num_visible_points)
+    RESULT["visible_voxels"] = int(fstats.num_visible_voxels)
     del state, pool  # free the device-path state before the engine allocates its own
     import gc
     gc.collect()
 
-    # --- simultaneous streaming + orbit render (the property the reference is
-    # NAMED for: renderCUDA() + updateOctree() alternating per frame,
-    # main_progressive_octree.cpp:1176-1180; VERDICT r3 item 5) ---
-    frame_ms_streaming = None
-    ingest_mps_streaming = None
-    if FILE_BENCH and os.environ.get("BENCH_STREAMFRAME", "1") == "1":
+    # =====================================================================
+    # Phase 3: file-based end-to-end: disk -> decode -> H2D -> build
+    # (the reference's headline metric is a drag-drop load, README.md:21)
+    # =====================================================================
+    if FILE_BENCH and phase_fits("file_e2e", 150):
+        import tempfile
+        from simlod_tpu.engine import Engine
+        from simlod_tpu.formats import simlod as simlod_fmt
+        fcfg = EngineConfig(
+            node_capacity=1 << 19,
+            point_capacity=max(FILE_POINTS + (1 << 20), 1 << 24),
+            voxel_capacity=1 << 26, segment_capacity=1 << 21,
+            step_points=STEP_POINTS, spill_capacity=1 << 20,
+            seg_select_cap=2048,
+            max_render_points=4 << 20, max_render_voxels=4 << 20)
+        path = os.path.join(tempfile.gettempdir(), f"bench_{FILE_POINTS}.simlod")
+        if not os.path.exists(path):
+            t_c = time.perf_counter()
+            simlod_fmt.write(path, xyz[:FILE_POINTS], rgba[:FILE_POINTS])
+            log(f"wrote {path} in {time.perf_counter()-t_c:.0f}s")
+        eng = Engine(fcfg)
+        # warm pass compiles the chunked programs; on the tunneled runtime the
+        # first run after a compile storm pays a large one-time degradation,
+        # so one sacrificial pass separates warm from the timed reps when the
+        # deadline allows it
+        t_c = time.perf_counter()
+        eng.open([path])
+        eng.load_all()
+        log(f"file warm load in {time.perf_counter()-t_c:.0f}s")
+        eng.stream.stop()
+        if time_left() > 200:
+            t_c = time.perf_counter()
+            eng.open([path])
+            eng.load_all()
+            log(f"file sacrificial load in {time.perf_counter()-t_c:.0f}s")
+            eng.stream.stop()
+        t_file = float("inf")
+        for rep in range(2):   # best-of-2: tunnel-runtime variance is large
+            t0 = time.perf_counter()
+            eng.open([path])
+            eng.load_all()
+            _ = int(eng.state.num_nodes)
+            dt = time.perf_counter() - t0
+            st = eng.stream.stats()
+            eng.stream.stop()
+            log(f"file rep{rep}: {dt:.2f}s = {FILE_POINTS/dt/1e6:.2f} MP/s "
+                f"(nodes {int(eng.state.num_nodes)}) stream={st}")
+            t_file = min(t_file, dt)
+            if rep == 0 and time_left() < 60:
+                break
+        file_mps = FILE_POINTS / t_file / 1e6
+        log(f"file e2e ({FILE_POINTS} pts): {t_file:.2f}s = {file_mps:.1f} MP/s")
+        RESULT["file_e2e_mps"] = round(file_mps, 2)
+        RESULT["file_stream_profile"] = {
+            k: round(v, 3) if isinstance(v, float) else v
+            for k, v in st.items()}
+
+        # --- per-format phases (reference README.md:10: LAS 200-300 /
+        # LAZ ~30 / simlod up to 580 MP/s on a 4090 + 16-core host; this
+        # host has ONE core, so decode-bound formats scale accordingly) ---
+        if phase_fits("file_formats", 90):
+            from simlod_tpu.formats import las as las_fmt
+            from simlod_tpu.formats import laz as laz_fmt
+            n_las = int(os.environ.get("BENCH_LAS_POINTS",
+                                       min(FILE_POINTS, 16_000_000)))
+            n_laz = int(os.environ.get("BENCH_LAZ_POINTS",
+                                       min(FILE_POINTS, 4_000_000)))
+            las_path = os.path.join(tempfile.gettempdir(), f"bench_{n_las}.las")
+            laz_path = os.path.join(tempfile.gettempdir(), f"bench_{n_laz}.laz")
+            if not os.path.exists(las_path):
+                t_c = time.perf_counter()
+                las_fmt.write(las_path, xyz[:n_las], rgba[:n_las])
+                log(f"wrote {las_path} in {time.perf_counter()-t_c:.0f}s")
+            if not os.path.exists(laz_path):
+                t_c = time.perf_counter()
+                laz_fmt.write(laz_path, xyz[:n_laz], rgba[:n_laz])
+                log(f"wrote {laz_path} in {time.perf_counter()-t_c:.0f}s")
+            for kind, pth, npts in (("las", las_path, n_las),
+                                    ("laz", laz_path, n_laz)):
+                best = float("inf")
+                for rep in range(2):
+                    laz_fmt._cache.clear()   # honest e2e: decode every rep
+                    t0 = time.perf_counter()
+                    eng.open([pth])
+                    eng.load_all()
+                    _ = int(eng.state.num_nodes)
+                    dt = time.perf_counter() - t0
+                    eng.stream.stop()
+                    best = min(best, dt)
+                RESULT[f"file_{kind}_mps"] = round(npts / best / 1e6, 2)
+                log(f"file {kind} e2e ({npts} pts): {best:.2f}s = "
+                    f"{npts/best/1e6:.2f} MP/s")
+        del eng
+        gc.collect()
+
+    # =====================================================================
+    # Phase 4: simultaneous streaming + orbit render (the property the
+    # reference is NAMED for: renderCUDA() + updateOctree() alternating per
+    # frame, main_progressive_octree.cpp:1176-1180)
+    # =====================================================================
+    if FILE_BENCH and os.environ.get("BENCH_STREAMFRAME", "1") == "1" \
+            and phase_fits("streamframe", 120):
         import tempfile
         from simlod_tpu.engine import Engine
         from simlod_tpu.formats import simlod as simlod_fmt
@@ -477,15 +553,18 @@ def main() -> int:
             log(f"streamframe {rep}: {frames} frames in {dt:.2f}s "
                 f"({dt/max(frames,1)*1e3:.1f} ms/frame, "
                 f"{n_sf/dt/1e6:.2f} MP/s concurrent)")
-        frame_ms_streaming = round(dt / max(frames, 1) * 1e3, 2)
-        ingest_mps_streaming = round(n_sf / dt / 1e6, 2)
+            if rep == "warm" and time_left() < 45:
+                break
+        RESULT["frame_ms_streaming"] = round(dt / max(frames, 1) * 1e3, 2)
+        RESULT["ingest_mps_streaming"] = round(n_sf / dt / 1e6, 2)
         del eng
+        gc.collect()
 
-    # --- out-of-core bricks on the real device (capability the reference
-    # LACKS — README.md:12 caps at GPU-resident; VERDICT r3 item 8: record a
-    # 2-brick > pool-capacity build+render number) ---
-    ooc_build_s = ooc_render_ms = None
-    if os.environ.get("BENCH_OOC", "1") == "1":
+    # =====================================================================
+    # Phase 5: out-of-core bricks on the real device (capability the reference
+    # LACKS — README.md:12 caps at GPU-resident)
+    # =====================================================================
+    if os.environ.get("BENCH_OOC", "1") == "1" and phase_fits("ooc", 100):
         import tempfile as _tf
         from simlod_tpu.formats import las as las_fmt
         from simlod_tpu.outofcore import OutOfCoreEngine
@@ -512,7 +591,9 @@ def main() -> int:
             ooc.build_all()
             dt = time.perf_counter() - t0
             log(f"ooc build {rep}: {dt:.1f}s")
-        ooc_build_s = round(dt, 2)
+            if rep == "warm" and time_left() < 30:
+                break
+        RESULT["ooc_build_s"] = round(dt, 2)
         ooc.orbit.focus_box(ooc.global_min, ooc.global_max)
         ooc.camera.world = ooc.orbit.world()
         img, _os = ooc.render(WIDTH, HEIGHT)   # compile + materialize
@@ -522,14 +603,18 @@ def main() -> int:
             img, _os = ooc.render(WIDTH, HEIGHT)
         jax.block_until_ready(img)
         ooc_render_ms = round((time.perf_counter() - t0) / 3 * 1e3, 2)
-        log(f"out-of-core: build {2*n_ob/1e6:.0f}M in {ooc_build_s}s, "
+        RESULT["ooc_render_ms"] = ooc_render_ms
+        log(f"out-of-core: build {2*n_ob/1e6:.0f}M in {dt:.1f}s, "
             f"composited render {ooc_render_ms} ms")
         del ooc
+        gc.collect()
 
-    # --- sharded engine at mesh=1 on the real chip: the sharded program's
-    # cost vs the single-chip one (VERDICT r3 item 7) ---
-    sharded_mps = None
-    if os.environ.get("BENCH_SHARDED", "1") == "1":
+    # =====================================================================
+    # Phase 6: sharded engine at mesh=1 on the real chip: the sharded
+    # program's cost vs the single-chip one
+    # =====================================================================
+    if os.environ.get("BENCH_SHARDED", "1") == "1" \
+            and phase_fits("sharded", 100):
         import tempfile
         from simlod_tpu.formats import simlod as simlod_fmt
         from simlod_tpu.parallel.engine import ShardedEngine
@@ -558,77 +643,56 @@ def main() -> int:
             log(f"sharded mesh=1 {rep}: {dt:.2f}s = {n_sh/dt/1e6:.2f} MP/s")
             if rep != "warm":
                 best = min(best, dt)
-        sharded_mps = round(n_sh / best / 1e6, 2)
+                RESULT["sharded_mps"] = round(n_sh / best / 1e6, 2)
+            if time_left() < 40:
+                break
         del seng
+        gc.collect()
 
-    # --- deep-scale phase (BASELINE config 4 shape; VERDICT r3 item 4): a
-    # 256M-point build + 4K render in a CHILD process (fresh HBM, no
-    # fragmentation from the phases above). Skipped when the round's bench
-    # budget is already spent. ---
-    deep = {}
-    if os.environ.get("BENCH_DEEP", "1") == "1" \
-            and N_POINTS < 192_000_000:
-        deadline = float(os.environ.get("BENCH_DEEP_DEADLINE", 4200))
-        if time.perf_counter() - T_START > deadline:
-            log("deep phase skipped: bench deadline")
-        else:
-            import subprocess
-            env = dict(os.environ,
-                       BENCH_POINTS=str(int(os.environ.get(
-                           "BENCH_DEEP_POINTS", 256_000_000))),
-                       BENCH_FILE="0", BENCH_STREAMFRAME="0", BENCH_OOC="0",
-                       BENCH_SHARDED="0", BENCH_DEEP="0", BENCH_POOLED="0",
-                       BENCH_4K="1", BENCH_NO_WATCHDOG="1",
-                       BENCH_GROUP="8")
-            log("deep phase: spawning 256M child...")
-            try:
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)], env=env,
-                    capture_output=True, text=True,
-                    timeout=float(os.environ.get("BENCH_DEEP_TIMEOUT", 4500)))
-                for line in out.stderr.splitlines()[-25:]:
-                    log(f"deep| {line}")
-                child = json.loads(out.stdout.strip().splitlines()[-1])
-                deep = {"deep_points": child.get("points"),
-                        "deep_mps": child.get("value"),
-                        "render_ms_4k": child.get("render_ms_4k"),
-                        "deep_render_ms_1080p": child.get("render_ms_1080p")}
-            except Exception as e:   # deep failure must not lose the main line
-                log(f"deep phase failed: {e!r}")
-                deep = {"deep_error": str(e)[:200]}
+    # =====================================================================
+    # Phase 7: deep-scale phase (BASELINE config 4 shape): a 256M-point build
+    # + 4K render in a CHILD process (fresh HBM, no fragmentation from the
+    # phases above).
+    # =====================================================================
+    if os.environ.get("BENCH_DEEP", "1") == "1" and N_POINTS < 192_000_000 \
+            and phase_fits("deep", float(os.environ.get(
+                "BENCH_DEEP_NEED", 420))):
+        import subprocess
+        child_budget = max(time_left() - 60, 120)
+        env = dict(os.environ,
+                   BENCH_POINTS=str(int(os.environ.get(
+                       "BENCH_DEEP_POINTS", 256_000_000))),
+                   BENCH_FILE="0", BENCH_STREAMFRAME="0", BENCH_OOC="0",
+                   BENCH_SHARDED="0", BENCH_DEEP="0", BENCH_POOLED="0",
+                   BENCH_4K="1", BENCH_NO_WATCHDOG="1",
+                   BENCH_GROUP="8",
+                   BENCH_DEADLINE=str(child_budget - 30))
+        log(f"deep phase: spawning 256M child (budget {child_budget:.0f}s)...")
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=child_budget)
+            for line in out.stderr.splitlines()[-25:]:
+                log(f"deep| {line}")
+            child = json.loads(out.stdout.strip().splitlines()[-1])
+            RESULT.update({"deep_points": child.get("points"),
+                           "deep_mps": child.get("value"),
+                           "render_ms_4k": child.get("render_ms_4k"),
+                           "deep_render_ms_1080p":
+                               child.get("render_ms_1080p")})
+        except Exception as e:   # deep failure must not lose the main line
+            log(f"deep phase failed: {e!r}")
+            RESULT["deep_error"] = str(e)[:200]
 
-    result = {
-        "metric": "LOD octree ingest throughput (synthetic lidar terrain)",
-        "value": round(mps, 2),
-        "unit": "MP/s",
-        "vs_baseline": round(mps / BASELINE_MPS, 4),
-        "file_e2e_mps": round(file_mps, 2) if file_mps else None,
-        **fmt_extras,
-        "render_ms_1080p": round(render_ms, 2),
-        "render_ms_1080p_exact": round(render_ms_exact, 2),
-        "render_ms_4k": round(render_4k_ms, 2) if render_4k_ms else None,
-        "pool_build_s": round(pool_build_s, 2),
-        "frame_ms_streaming": frame_ms_streaming,
-        "ingest_mps_streaming": ingest_mps_streaming,
-        "ooc_build_s": ooc_build_s,
-        "ooc_render_ms": ooc_render_ms,
-        "sharded_mps": sharded_mps,
-        **deep,
-        "points": N_POINTS,
-        "build_seconds": round(t_build, 3),
-        "num_nodes": num_nodes,
-        "num_voxels": num_voxels,
-        "overfull_leaves": n_overfull,
-        "candidates_dropped": cand_dropped,
-        "visible_points": vis_pts,
-        "visible_voxels": vis_vox,
-        "platform": platform,
-    }
-    if os.environ.get("BENCH_FALLBACK"):
-        result["fallback"] = os.environ["BENCH_FALLBACK"]
-    print(json.dumps(result))
-    return 0
+    RESULT["bench_wall_s"] = round(time.perf_counter() - T_START, 1)
+    _emit_and_exit(0)
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        main()
+    except Exception as e:   # never lose the measured numbers to a late crash
+        import traceback
+        traceback.print_exc()
+        RESULT["error"] = f"{type(e).__name__}: {e}"[:300]
+        _emit_and_exit(1)

@@ -108,11 +108,14 @@ def main():
         return (w0 + dx_).astype(jnp.float32), yc, zc, aux
 
     def route_full(xc, yc, zc, cc):
+        # inputs are B-length (the real step shape); route outputs are
+        # BW+W-long, so slice back to B for a shape-stable chained carry
+        # (the full-length carry made this probe always FAIL — ADVICE r4)
         st, w = build.route(cfg, state, xc, yc, zc,
                             jax.lax.bitcast_convert_type(cc, jnp.uint32),
                             jnp.int32(B))
-        return w.w0.astype(jnp.float32), w.qx.astype(jnp.float32), \
-            w.leaf.astype(jnp.float32), cc
+        return w.w0[:B].astype(jnp.float32), w.qx[:B].astype(jnp.float32), \
+            w.leaf[:B].astype(jnp.float32), cc
 
     probes = [
         ("sort 2key+2payload (BW)", sort4, (k0, k1, k2, aux)),
@@ -121,7 +124,7 @@ def main():
         ("sort 1key+3payload (BW)", sort1p3, (k0, k1, k2, aux)),
         ("morton q+enc+dec (BW)", morton_rt, (xs, ys, zs, aux)),
         ("route() full", route_full,
-         (xs, ys, zs, jax.lax.bitcast_convert_type(
+         (xs[:B], ys[:B], zs[:B], jax.lax.bitcast_convert_type(
              jax.device_put(np.zeros(B, np.uint32)), jnp.int32))),
     ]
     for name, body, args in probes:

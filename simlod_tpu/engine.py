@@ -91,6 +91,14 @@ def _collect_stats(cfg: EngineConfig, state: OctreeState, fstats: FrameStats | N
     )
 
 
+@functools.partial(jax.jit, static_argnums=1)
+def _pool_need(state: OctreeState, cap: int):
+    """Drawn-sample upper bounds for the draw-pool copy (module-level so the
+    reduction compiles once, not per pool rebuild — ADVICE r4)."""
+    return (jnp.sum(jnp.minimum(state.num_points, cap)),
+            jnp.sum(jnp.minimum(state.num_voxels, cap)))
+
+
 @dataclasses.dataclass
 class Timings:
     """min/max/avg accumulator (reference benchmark mode, :234-246)."""
@@ -515,9 +523,7 @@ class Engine:
                     (self.state.vox_k0.shape[0] // 128) * 128)
         node_w = directory_window(int(self.state.num_nodes),
                                   self.cfg.node_capacity)
-        pc_need, vc_need = jax.jit(
-            lambda st: (jnp.sum(jnp.minimum(st.num_points, cap)),
-                        jnp.sum(jnp.minimum(st.num_voxels, cap))))(self.state)
+        pc_need, vc_need = _pool_need(self.state, cap)
         live_nodes = int(self.state.num_nodes)
         pc = _size_bucket(int(pc_need) + 256 * live_nodes + 128)
         vc = _size_bucket(int(vc_need) + 256 * live_nodes + 128)

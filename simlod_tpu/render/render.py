@@ -260,8 +260,15 @@ def probe_pooled_counts(cfg: EngineConfig, state: OctreeState, pool,
     pad = 2 * 128
     pp = jnp.sum(tp) + pad * jnp.sum((tp > 0).astype(jnp.int32))
     pv = jnp.sum(tv) + pad * jnp.sum((tv > 0).astype(jnp.int32))
-    ep = jnp.sum(jnp.where(m_ep, state.num_points, 0))
-    ev = jnp.sum(jnp.where(m_ev, state.num_voxels, 0))
+    # exact-routed nodes pay the same per-segment ragged padding
+    # (gather_point_samples plans per SEGMENT, not per node, but the node count
+    # lower-bounds it; the 1.25x sample_window headroom covers multi-segment
+    # nodes) — without this term a frame with many small exact-routed nodes
+    # truncates persistently at exactly the probe-sized window (ADVICE r4)
+    ep = jnp.sum(jnp.where(m_ep, state.num_points, 0)) \
+        + pad * jnp.sum((m_ep & (state.num_points > 0)).astype(jnp.int32))
+    ev = jnp.sum(jnp.where(m_ev, state.num_voxels, 0)) \
+        + pad * jnp.sum((m_ev & (state.num_voxels > 0)).astype(jnp.int32))
     return pp, pv, ep, ev
 
 
