@@ -74,6 +74,19 @@ def agg_trace(tdir, label, scale=1.0):
           f"(x{scale:g}) across {sum(cnt.values())} events")
     for key, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
         print(f"  {ms*scale:9.2f} ms  x{cnt[key]:<6d} {key}")
+    # largest single events: attributes aggregate lines that mix one giant
+    # call with many small ones (e.g. full-capacity compaction sorts vs
+    # frontier compactions, both compact_mask_via_sort)
+    singles = []
+    for lane in lanes.values():
+        for e in lane:
+            a = e.get("args", {})
+            singles.append((e.get("dur", 0) / 1e3, e.get("name", "?"),
+                            a.get("source", "").replace("/root/repo/", "")))
+    singles.sort(reverse=True)
+    print(f"[{label}] top single events:")
+    for dur, name, src in singles[:25]:
+        print(f"  {dur:9.2f} ms  {name[:60]:<60s} {src}")
     sys.stdout.flush()
 
 

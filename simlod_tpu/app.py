@@ -62,11 +62,21 @@ def parse_args(argv=None):
 
 
 def build_engine(args) -> Engine:
-    cfg = EngineConfig(
-        step_points=args.step_points, node_capacity=args.node_capacity,
-        point_capacity=args.point_capacity, voxel_capacity=args.voxel_capacity,
-        spill_capacity=min(args.step_points, 4 << 20),
-    )
+    defaults = (args.node_capacity == EngineConfig.node_capacity
+                and args.point_capacity == EngineConfig.point_capacity
+                and args.voxel_capacity == EngineConfig.voxel_capacity
+                and args.step_points == EngineConfig.step_points)
+    if defaults:
+        # no capacity flags given: auto-size pools from device memory and the
+        # stream (EngineConfig.auto) — `simlod file.las` needs no hand tuning
+        cfg = None
+    else:
+        cfg = EngineConfig(
+            step_points=args.step_points, node_capacity=args.node_capacity,
+            point_capacity=args.point_capacity,
+            voxel_capacity=args.voxel_capacity,
+            spill_capacity=min(args.step_points, 4 << 20),
+        )
     settings = Settings(
         min_node_size=args.min_node_size, point_size=args.point_size,
         enable_edl=not args.no_edl, use_high_quality_shading=not args.no_hqs,

@@ -127,6 +127,93 @@ class EngineConfig:
         # interleaved boundary junk, build.Work), hence + boundary_window
         return self.step_points + self.spill_capacity + self.boundary_window
 
+    def estimated_state_bytes(self) -> int:
+        """Device bytes of the persistent OctreeState this config allocates
+        (structures.init_state): point pool 16 B/row, voxel store 20 B/row,
+        node arrays ~144 B/node (15 i32 columns + the 21-level ancestor
+        table), segments 12 B/row."""
+        from .octree.structures import _cand_capacity
+        pt = (self.point_capacity + self.working_capacity) * 16
+        vx = (self.voxel_capacity + _cand_capacity(self)) * 20
+        nd = self.node_capacity * 4 * (15 + C.MAX_DEPTH + 1)
+        sg = self.segment_capacity * 12
+        return pt + vx + nd + sg
+
+    @classmethod
+    def auto(cls, total_points: int | None = None, device=None,
+             memory_bytes: int | None = None, **overrides) -> "EngineConfig":
+        """Derive pool capacities from device memory and the dataset size.
+
+        The reference sizes its persistent buffer to 80% of free VRAM at init
+        (main_progressive_octree.cpp:580-586); here capacities are static jit
+        shapes, so they are derived once per load instead: the point pool
+        covers the stream, the voxel store covers the worst-case live voxel
+        count (~1 voxel/point on surface scans), and the whole state is kept
+        under ~45% of device memory — the rest is XLA scratch headroom (the
+        compaction sort's working set alone is ~2.4x the voxel store).
+        Datasets that exceed memory get a clamped point pool; the engine's
+        watermarks then stop ingestion with mem_capacity_reached, the same
+        degradation the reference shows when VRAM runs out.
+        """
+        budget = memory_bytes
+        if budget is None:
+            budget = _device_memory_bytes(device)
+        state_budget = int(budget * 0.45)
+        if total_points is None:
+            # no stream known: assume the state budget splits like a
+            # just-fits dataset at ~36 combined bytes/point
+            total_points = max(state_budget // 36, 1 << 22)
+        n = int(total_points)
+
+        def bucket(v: int) -> int:   # 1-8-pow2 (<= 12.5% pad steps)
+            v = max(v, 1024)
+            b = max((v - 1).bit_length() - 3, 0)
+            return ((v + (1 << b) - 1) >> b) << b
+
+        kw: dict = dict(
+            step_points=2 << 20,
+            spill_capacity=1 << 20,
+            seg_select_cap=2048,
+            node_capacity=(1 << 19) if n >= 16_000_000 else (1 << 17),
+            segment_capacity=min(max(bucket(n // 32), 1 << 16), 1 << 22),
+            point_capacity=n + (1 << 20),
+            voxel_capacity=max(bucket(n), 1 << 22),
+            max_render_points=4 << 20,
+            max_render_voxels=4 << 20,
+        )
+        kw.update(overrides)
+        cfg = cls(**kw)
+        # shrink the two big pools until the state fits the budget (files
+        # larger than device memory load until the watermark flags capacity)
+        while cfg.estimated_state_bytes() > state_budget \
+                and cfg.point_capacity > (1 << 22):
+            kw["point_capacity"] = max(kw["point_capacity"] // 2, 1 << 22)
+            kw["voxel_capacity"] = max(kw["voxel_capacity"] // 2, 1 << 22)
+            kw.update(overrides)
+            cfg = cls(**kw)
+        return cfg
+
+
+def _device_memory_bytes(device=None) -> int:
+    """Free device memory, best effort. The tunneled TPU attachment reports no
+    memory_stats(); fall back to the v5e/v5p floor (16 GB HBM)."""
+    try:
+        import jax
+        if device is None:
+            device = jax.devices()[0]
+        stats = device.memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
+        if device.platform == "tpu":
+            return 16 << 30
+    except Exception:
+        pass
+    try:   # CPU backend (tests): half of physical RAM
+        import os
+        return os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // 2
+    except (ValueError, OSError, AttributeError):
+        return 8 << 30
+
 
 @dataclasses.dataclass
 class Settings:

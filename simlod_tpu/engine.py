@@ -170,6 +170,11 @@ class Engine:
                  settings: Settings | None = None, device=None):
         from .utils import cache as _cache
         _cache.enable()
+        # cfg=None enables auto-capacity: pools are derived from device memory
+        # and the stream's point count at open() (the reference sizes its
+        # persistent buffer to 80% of free VRAM, main_progressive_octree.cpp:
+        # 580-586; here shapes are static per load instead)
+        self._auto_cfg = cfg is None
         self.cfg = cfg or EngineConfig()
         self.settings = settings or Settings()
         self.device = device
@@ -206,6 +211,11 @@ class Engine:
 
     def open(self, paths):
         """Scan files, reset the octree to their union box, start streaming."""
+        if self._auto_cfg:
+            from .io.streaming import scan_paths
+            total = sum(e.num_points for e in scan_paths(paths))
+            self.cfg = EngineConfig.auto(total_points=total,
+                                         device=self.device)
         self.stream = PointStream(paths, self.cfg.step_points, device=self.device,
                                   chunk_steps=self.cfg.steps_per_dispatch)
         box = self.stream.box_max - self.stream.box_min
