@@ -295,7 +295,8 @@ def main() -> int:
     from simlod_tpu.render import drawpool as drawpool_mod
     from simlod_tpu.render.render import (probe_pooled_counts,
                                           probe_visible_counts,
-                                          render_frame_pooled)
+                                          render_frame_pooled,
+                                          render_frames, render_frames_pooled)
     from simlod_tpu.ops import ragged as ragged_mod
 
     def pow2(n):
@@ -332,7 +333,7 @@ def main() -> int:
         log(f"draw pool steady-state rebuild in {pool_build_s:.2f}s")
         RESULT["pool_build_s"] = round(pool_build_s, 2)
 
-    def timed_render(fn, label, n_frames=5):
+    def timed_render(fn, label, n_frames=5, frames_per_call=1):
         t_c = time.perf_counter()
         img, fstats = fn()
         jax.block_until_ready(img)
@@ -341,28 +342,57 @@ def main() -> int:
         for _ in range(n_frames):
             img, fstats = fn()
         jax.block_until_ready(img)
-        ms = (time.perf_counter() - t0) / n_frames * 1e3
+        ms = (time.perf_counter() - t0) / (n_frames * frames_per_call) * 1e3
         log(f"render[{label}]: {ms:.2f} ms truncated={bool(fstats.truncated)}")
         return ms, fstats
 
-    def pooled_render_ms(rcfg, width, height, label):
-        cm = cam.Camera(width=width, height=height)
+    # A dispatch through the tunneled runtime costs ~23 ms of host overhead
+    # while a pooled 1080p frame is ~5 ms of device time (scripts/
+    # trace_bench.py) — one-frame-per-dispatch timing measures the tunnel, not
+    # the renderer. The headline frame time therefore scans BENCH_FRAMES
+    # camera-path frames per dispatch (the steady-state interactive loop; the
+    # reference's benchmark likewise reports CUDA-event device time,
+    # main_progressive_octree.cpp:523-535); the per-dispatch number is
+    # recorded alongside as *_dispatch.
+    K_FRAMES = int(os.environ.get("BENCH_FRAMES", 10))
+
+    def orbit_uniform(width, height, yaw_off=0.0, point_budget=None):
         ob = cam.OrbitControls()
         ob.focus_box(np.zeros(3), box_max)
+        ob.yaw += yaw_off
+        cm = cam.Camera(width=width, height=height)
         cm.world = ob.world()
-        uu = Uniforms.make(width, height, cm.transform(),
-                           settings=_dc.replace(Settings(), point_budget=1.0))
-        pp, pv, ep, ev = (int(v) for v in probe_pooled_counts(
-            rcfg, state, pool, uu))
+        s = Settings() if point_budget is None else \
+            _dc.replace(Settings(), point_budget=point_budget)
+        return Uniforms.make(width, height, cm.transform(), settings=s)
+
+    def stack_uniforms(us):
+        return jax.tree.map(lambda *a: jnp.stack(a), *us)
+
+    def pooled_render_ms(rcfg, width, height, label):
+        us = [orbit_uniform(width, height, 0.03 * i, point_budget=1.0)
+              for i in range(K_FRAMES)]
+        pp = pv = ep = ev = 0
+        for uu in (us[0], us[K_FRAMES // 2], us[-1]):
+            a, b, c_, d = (int(v) for v in probe_pooled_counts(
+                rcfg, state, pool, uu))
+            pp, pv, ep, ev = max(pp, a), max(pv, b), max(ep, c_), max(ev, d)
         ws = tuple(sample_window(n, 0, cfg.max_render_points)
                    for n in (pp, pv, ep, ev))
         nw = directory_window(int(state.num_nodes), cfg.node_capacity)
         sw = directory_window(int(state.num_segments), cfg.segment_capacity)
         log(f"pooled windows {label}: pp={ws[0]} pv={ws[1]} ep={ws[2]} "
             f"ev={ws[3]}")
-        return timed_render(
-            lambda: render_frame_pooled(rcfg, state, pool, width, height, uu,
-                                        *ws, nw, sw), label)
+        ustack = stack_uniforms(us)
+        ms, fstats = timed_render(
+            lambda: render_frames_pooled(rcfg, state, pool, width, height,
+                                         ustack, *ws, nw, sw),
+            label, n_frames=3, frames_per_call=K_FRAMES)
+        ms1, _ = timed_render(
+            lambda: render_frame_pooled(rcfg, state, pool, width, height,
+                                        us[0], *ws, nw, sw),
+            label + " 1-per-dispatch")
+        return ms, ms1, fstats
 
     c = cam.Camera(width=WIDTH, height=HEIGHT)
     orbit = cam.OrbitControls()
@@ -372,20 +402,23 @@ def main() -> int:
     cfg_fast = _dc.replace(cfg, raster_exact_tiebreak=False)
     fstats = None
     if USE_POOLED:
-        render_ms, fstats = pooled_render_ms(cfg_fast, WIDTH, HEIGHT,
-                                             "pooled+2key 1080p")
+        render_ms, render_ms1, fstats = pooled_render_ms(
+            cfg_fast, WIDTH, HEIGHT, "pooled+2key 1080p")
         RESULT["render_ms_1080p"] = round(render_ms, 2)
+        RESULT["render_ms_1080p_dispatch"] = round(render_ms1, 2)
 
     # exact-semantics reference frame (all samples, 3-key tiebreak)
-    u = Uniforms.make(WIDTH, HEIGHT, c.transform(), settings=Settings())
+    us_e = [orbit_uniform(WIDTH, HEIGHT, 0.03 * i) for i in range(K_FRAMES)]
+    u = us_e[0]
     nvp, nvv = probe_visible_counts(state, u)  # cheap: no raster compiled
     pw = sample_window(int(nvp), 0, cfg.max_render_points)
     vw = sample_window(int(nvv), 0, cfg.max_render_voxels)
     nw = directory_window(int(state.num_nodes), cfg.node_capacity)
     sw = directory_window(int(state.num_segments), cfg.segment_capacity)
     render_ms_exact, fstats_e = timed_render(
-        lambda: render_frame(cfg, state, WIDTH, HEIGHT, u, pw, vw, nw, sw),
-        "exact+3key 1080p")
+        lambda: render_frames(cfg, state, WIDTH, HEIGHT, stack_uniforms(us_e),
+                              pw, vw, nw, sw),
+        "exact+3key 1080p", n_frames=2, frames_per_call=K_FRAMES)
     RESULT["render_ms_1080p_exact"] = round(render_ms_exact, 2)
     if fstats is None:
         fstats = fstats_e
@@ -394,20 +427,19 @@ def main() -> int:
     render_4k_ms = None
     if N_POINTS >= 192_000_000 or os.environ.get("BENCH_4K"):
         if USE_POOLED:
-            render_4k_ms, _ = pooled_render_ms(cfg_fast, 3840, 2160,
-                                               "pooled+2key 4k")
+            render_4k_ms, render_4k_ms1, _ = pooled_render_ms(
+                cfg_fast, 3840, 2160, "pooled+2key 4k")
+            RESULT["render_ms_4k_dispatch"] = round(render_4k_ms1, 2)
         else:
-            c4 = cam.Camera(width=3840, height=2160)
-            ob4 = cam.OrbitControls()
-            ob4.focus_box(np.zeros(3), box_max)
-            c4.world = ob4.world()
-            u4 = Uniforms.make(3840, 2160, c4.transform(), settings=Settings())
-            nvp4, nvv4 = probe_visible_counts(state, u4)
+            us4 = [orbit_uniform(3840, 2160, 0.03 * i)
+                   for i in range(K_FRAMES)]
+            nvp4, nvv4 = probe_visible_counts(state, us4[0])
             pw4 = sample_window(int(nvp4), 0, cfg.max_render_points)
             vw4 = sample_window(int(nvv4), 0, cfg.max_render_voxels)
             render_4k_ms, _ = timed_render(
-                lambda: render_frame(cfg, state, 3840, 2160, u4, pw4, vw4,
-                                     nw, sw), "exact 4k")
+                lambda: render_frames(cfg, state, 3840, 2160,
+                                      stack_uniforms(us4), pw4, vw4, nw, sw),
+                "exact 4k", n_frames=2, frames_per_call=K_FRAMES)
         RESULT["render_ms_4k"] = round(render_4k_ms, 2)
 
     RESULT["visible_points"] = int(fstats.num_visible_points)
@@ -540,6 +572,9 @@ def main() -> int:
         for rep in ("warm", "timed"):
             eng = Engine(sf_cfg)
             eng.settings.frame_budget_ms = 50.0
+            # the simultaneous loop renders through the screen-budgeted draw
+            # pool (bounded staleness; VERDICT r4 item 6)
+            eng.settings.point_budget = 1.0
             eng.open([sf_path])
             t0 = time.perf_counter()
             frames = 0

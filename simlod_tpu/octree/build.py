@@ -1118,25 +1118,69 @@ def _compact_voxels_core(cfg: EngineConfig, state: OctreeState,
     key order groups each node's voxels contiguously (a node's voxels would
     interleave with its descendants' in plain Morton order), and within a node the
     masked key ascends exactly like the packed (cx,cy,cz) cell index.
+
+    Cost structure (this is the single most expensive program of a bulk load —
+    44% of the round-4 64M build): the (lvl 5b, k0 30b, k1 30b, cell 18b) key is
+    83 bits and packs into THREE 31-bit words; the append row index rides as a
+    4th sort key, making the sort unstable-but-deterministic (min row index =
+    first arrival — the exact stable-sort winner) AND serving as the recovery
+    handle for the columns that no longer ride the sort (rgba is gathered once
+    at the end; src only at the few group-start rows). Dedup-compaction re-sorts
+    the same 4 key words with duplicates sent to the tail (their relative order
+    is already final, so no payload or stability is needed), and the group pass
+    is an index compaction + small gathers instead of a third wide payload sort.
+    18 effective wide columns -> 9 vs the round-4 version (measured 1.51 s ->
+    see docs/PERFORMANCE.md round-5 table).
     """
     n_cap = state.child_base.shape[0]
     rows = jnp.arange(w, dtype=jnp.int32)
     valid = rows < state.vox_used
     mx = jnp.int32(I32_MAX)
-    lkey = jnp.where(valid, state.vox_k2l[:w] & 31, mx)
-    k0 = jnp.where(valid, state.vox_k0[:w], mx)
-    slvl, sk0, sk1, sk2l, ssrc, srgba = jax.lax.sort(
-        (lkey, k0, state.vox_k1[:w], state.vox_k2l[:w], state.vox_node[:w],
-         state.vox_rgba[:w]), num_keys=4, is_stable=True)
-    uniq = valid & ((sk0 != jnp.roll(sk0, 1)) | (sk1 != jnp.roll(sk1, 1))
-                    | (sk2l != jnp.roll(sk2l, 1)) | (rows == 0))
-    (ck0, ck1, ck2l, csrc, crgba), n_uniq = compact_mask_via_sort(
-        uniq, (sk0, sk1, sk2l, ssrc, srgba))
+    # pack (lvl, k0, k1, k2cell) -> (a0, a1, a2), lexicographic, each < 2^31:
+    #   a0 = lvl:5 | k0[29:4]:26       a1 = k0[3:0]:4 | k1[29:3]:27
+    #   a2 = k1[2:0]:3 | k2cell:18 (k2l bits 23..6; low 6 bits of the masked
+    #        word are always zero for voxel levels <= 19)
+    k0u = state.vox_k0[:w].astype(jnp.uint32)
+    k1u = state.vox_k1[:w].astype(jnp.uint32)
+    k2u = state.vox_k2l[:w].astype(jnp.uint32)
+    lvl = k2u & 31
+    a0 = ((lvl << 26) | (k0u >> 4)).astype(jnp.int32)
+    a1 = (((k0u & 15) << 27) | (k1u >> 3)).astype(jnp.int32)
+    a2 = (((k1u & 7) << 24) | (k2u & ~jnp.uint32(31))).astype(jnp.int32)
+    a0 = jnp.where(valid, a0, mx)
+    a1 = jnp.where(valid, a1, mx)
+    a2 = jnp.where(valid, a2, mx)
+    # rgba rides as the one payload (a post-hoc w-wide gather1d would
+    # materialize a [w, 128] lane-select intermediate — 36 GB at the 64M
+    # bench's store window; src does NOT ride: it is only read at the few
+    # group-start rows, recovered through the iota key)
+    sa0, sa1, sa2, siota, srgba = jax.lax.sort(
+        (a0, a1, a2, rows,
+         jax.lax.bitcast_convert_type(state.vox_rgba[:w], jnp.int32)),
+        num_keys=4, is_stable=False)
+    uniq = valid & ((sa0 != jnp.roll(sa0, 1)) | (sa1 != jnp.roll(sa1, 1))
+                    | (sa2 != jnp.roll(sa2, 1)) | (rows == 0))
+    # dedup compaction: unique rows' keys are already ascending AND distinct,
+    # so sending duplicates to the tail with MAX keys and re-sorting the SAME
+    # key words is a stable compaction (3 keys, no tiebreak needed; the
+    # equal-MAX tail rows land in arbitrary order and are masked off)
+    ca0, ca1, ca2, ciota, crgba_i = jax.lax.sort(
+        (jnp.where(uniq, sa0, mx), jnp.where(uniq, sa1, mx),
+         jnp.where(uniq, sa2, mx), jnp.where(uniq, siota, mx), srgba),
+        num_keys=3, is_stable=False)
+    n_uniq = jnp.sum(uniq.astype(jnp.int32))
     cvalid = rows < n_uniq
+
+    # unpack the compacted key words (exact inverse of the packing above)
+    clvl = (ca0 >> 26) & 31
+    ck0 = ((ca0 & ((1 << 26) - 1)) << 4) | ((ca1 >> 27) & 15)
+    ck1 = ((ca1 & ((1 << 27) - 1)) << 3) | ((ca2 >> 24) & 7)
+    ck2l = (ca2 & jnp.int32(0x00FFFFC0)) | clvl
+    ciota_s = jnp.where(cvalid, ciota, 0)
+    crgba = jax.lax.bitcast_convert_type(crgba_i, jnp.uint32)
 
     # node-group boundaries: level change or node-prefix change (the node prefix is
     # the key with its 21 cell bits stripped = key masked to 3*level octant levels)
-    clvl = ck2l & 31
     # keep = (clvl - GRID_BITS) + GRID_BITS = exactly the node's 3*level bits
     # (negative intermediate levels clip to keep-nothing per word)
     n0, n1, n2l = morton.key_words_at_level(
@@ -1147,14 +1191,18 @@ def _compact_voxels_core(cfg: EngineConfig, state: OctreeState,
     gstart = cvalid & ((clvl != jnp.roll(clvl, 1)) | (n0 != jnp.roll(n0, 1))
                        | (n1 != jnp.roll(n1, 1)) | (n2l != jnp.roll(n2l, 1))
                        | (rows == 0))
-    # one anc lookup per GROUP (the stored src is the emitting leaf pre-compaction
-    # and the node itself post-compaction; anc[src, lvl] is the node either way)
+    # group extraction: index compaction (1-key sort, no payloads) + gathers at
+    # the few group rows; src (the emitting leaf pre-compaction, the node itself
+    # post-compaction) is recovered through ciota, and anc[src, lvl] is the
+    # node either way — one anc lookup per GROUP
     NW = min(n_cap, w)
-    (g_src, g_lvl, g_row), n_groups = compact_mask_via_sort(
-        gstart, (csrc, clvl, rows))
-    g_src, g_lvl, g_row = g_src[:NW], g_lvl[:NW], g_row[:NW]
+    g_pos, n_groups = compact_indices(gstart)
     gi = jnp.arange(NW, dtype=jnp.int32)
     gok = gi < n_groups
+    g_row = jnp.where(gok, jnp.minimum(g_pos[:NW], w - 1), 0)
+    g_lvl = gather1d(clvl, g_row)
+    g_src = gather1d(state.vox_node, gather1d(ciota_s, g_row))
+    g_row = jnp.where(gok, g_row, w)
     g_node = gather1d(state.anc,
                       jnp.where(gok, g_src, 0) * (C.MAX_DEPTH + 1)
                       + jnp.where(gok, g_lvl, 0))

@@ -242,6 +242,58 @@ render_components_pooled = functools.partial(
         render_components_pooled_impl)
 
 
+def render_frames_pooled_impl(cfg: EngineConfig, state: OctreeState, pool,
+                              width: int, height: int, uniforms_stack,
+                              pool_pw: int, pool_vw: int, exact_pw: int,
+                              exact_vw: int, node_window: int | None = None,
+                              seg_window: int | None = None):
+    """Render K frames (a stacked-Uniforms camera path) in ONE program.
+
+    A frame's device cost here is ~5 ms while a single dispatch through the
+    tunneled runtime costs ~23 ms of host overhead — a per-frame dispatch would
+    measure the tunnel, not the renderer. Scanning K frames per dispatch is the
+    steady-state interactive loop (frames in flight, no host sync between
+    them), the same accounting as the reference's CUDA-event kernel times
+    (main_progressive_octree.cpp:523-535, device time only). Returns the LAST
+    frame's image + the OR of per-frame truncation (stats of frame K-1)."""
+    def body(img_prev, u):
+        img, st = render_frame_pooled_impl(
+            cfg, state, pool, width, height, u, pool_pw, pool_vw,
+            exact_pw, exact_vw, node_window, seg_window)
+        return img, st
+    img0 = jnp.zeros((height, width), jnp.uint32)
+    img, stats = jax.lax.scan(body, img0, uniforms_stack)
+    last = jax.tree.map(lambda a: a[-1], stats)
+    return img, last._replace(truncated=jnp.any(stats.truncated))
+
+
+render_frames_pooled = functools.partial(
+    jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11))(
+        render_frames_pooled_impl)
+
+
+def render_frames_impl(cfg: EngineConfig, state: OctreeState, width: int,
+                       height: int, uniforms_stack,
+                       point_window: int | None = None,
+                       voxel_window: int | None = None,
+                       node_window: int | None = None,
+                       seg_window: int | None = None):
+    """Exact-path analogue of render_frames_pooled_impl (see its docstring)."""
+    def body(img_prev, u):
+        img, st = render_frame_impl(
+            cfg, state, width, height, u, point_window, voxel_window,
+            node_window, seg_window)
+        return img, st
+    img0 = jnp.zeros((height, width), jnp.uint32)
+    img, stats = jax.lax.scan(body, img0, uniforms_stack)
+    last = jax.tree.map(lambda a: a[-1], stats)
+    return img, last._replace(truncated=jnp.any(stats.truncated))
+
+
+render_frames = functools.partial(
+    jax.jit, static_argnums=(0, 2, 3, 5, 6, 7, 8))(render_frames_impl)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def probe_pooled_counts(cfg: EngineConfig, state: OctreeState, pool,
                         uniforms: Uniforms):
