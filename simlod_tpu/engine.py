@@ -234,6 +234,7 @@ class Engine:
 
     def open(self, paths):
         """Scan files, reset the octree to their union box, start streaming."""
+        self._last_paths = list(paths)   # viewer "Reset + Benchmark" re-open
         if self._auto_cfg:
             from .io.streaming import scan_paths
             total = sum(e.num_points for e in scan_paths(paths))

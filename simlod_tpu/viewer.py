@@ -9,7 +9,16 @@ is headless, so the interactive equivalent serves rendered frames over HTTP:
                       shift-drag = pan) and live stats readout,
   - `GET /frame?...`  renders one frame for the requested camera and streams it
                       as PNG (stdlib zlib encoder — no image library needed),
-  - `GET /stats`      the engine's stats table as JSON (the ImGui stats window).
+  - `GET /stats`      the engine's stats table as JSON (the ImGui stats window),
+  - `GET /bench`      runs N timed frames under the render lock and returns the
+                      reference-style copyable stats table (min/max/avg per
+                      kernel — the "Benchmark" button + stats table of
+                      main_progressive_octree.cpp:1254-1258, 1505-1556);
+                      `?reset=1` re-opens the last file set first and times the
+                      whole simultaneous load ("Reset + Benchmark").
+
+The page also draws a scrolling frame-time graph with 60/120 FPS guide lines
+(the reference's ImPlot plot, src/GLRenderer.cpp:307-350).
 
 Camera state lives in the BROWSER and rides the query string, so the server is
 stateless per request and any number of clients can orbit independently.
@@ -72,7 +81,13 @@ canvas{display:block;cursor:grab}
  <label>color <select id=cmode><option value=0>rgb</option>
   <option value=1>by node</option><option value=2>by LOD</option>
   <option value=3>white</option></select></label>
+ <button id=benchb>benchmark</button>
+ <button id=benchrb>reset + benchmark</button>
+ <button id=benchcp style="display:none">copy</button>
+ <pre id=benchout style="max-width:360px;overflow:auto"></pre>
 </div>
+<canvas id=g width=260 height=74
+ style="position:fixed;bottom:8px;left:8px;background:#000a"></canvas>
 <script>
 const cv=document.getElementById('c'),hud=document.getElementById('hud');
 let yaw=%YAW%,pitch=%PITCH%,radius=%RADIUS%,tx=%TX%,ty=%TY%,tz=%TZ%;
@@ -97,6 +112,27 @@ window.onmousemove=e=>{if(!drag)return;
   pitch=Math.max(-1.55,Math.min(1.55,pitch));}
  dirty=true};
 window.onwheel=e=>{radius*=e.deltaY>0?1.1:0.9;dirty=true};
+// scrolling frame-time graph with 60/120 FPS guides (GLRenderer.cpp:307-350)
+const gv=document.getElementById('g'),gx=gv.getContext('2d');let hist=[];
+function drawGraph(){
+ const W=gv.width,H=gv.height;gx.clearRect(0,0,W,H);
+ const ymax=Math.max(33.4,...hist),y=ms=>H-4-ms/ymax*(H-16);
+ for(const [ms,col] of [[16.7,'#4a4'],[8.3,'#aa4']]){
+  gx.strokeStyle=col;gx.beginPath();gx.moveTo(0,y(ms));gx.lineTo(W,y(ms));gx.stroke();}
+ gx.strokeStyle='#4af';gx.beginPath();
+ hist.forEach((ms,i)=>{const px=W-(hist.length-i)*2;
+  i?gx.lineTo(px,y(ms)):gx.moveTo(px,y(ms))});
+ gx.stroke();gx.fillStyle='#ddd';
+ if(hist.length)gx.fillText(hist[hist.length-1].toFixed(1)+' ms',4,10);}
+async function runBench(reset){
+ const out=el('benchout');out.textContent='benchmarking...';
+ try{const r=await fetch('/bench?frames=50'+(reset?'&reset=1':''));
+  const j=await r.json();out.textContent=j.table;
+  const cp=el('benchcp');cp.style.display='inline';
+  cp.onclick=()=>navigator.clipboard.writeText(j.table);dirty=true;
+ }catch(e){out.textContent='error: '+e}}
+el('benchb').onclick=()=>runBench(0);
+el('benchrb').onclick=()=>runBench(1);
 async function loop(){
  if(dirty&&!busy){dirty=false;busy=true;
   const q=`yaw=${yaw}&pitch=${pitch}&radius=${radius}&tx=${tx}&ty=${ty}&tz=${tz}`+
@@ -114,6 +150,9 @@ async function loop(){
     `nodes ${s.num_nodes}  points ${s.num_points}  voxels ${s.num_voxels_stored}\\n`+
     `visible pts ${s.num_visible_points} vox ${s.num_visible_voxels}`+
     (s.streaming?`\\nstreaming... ${s.num_points_processed} pts`:'');
+   hist.push(s.render_ms||performance.now()-t0);
+   if(hist.length>Math.floor(gv.width/2))hist.shift();
+   drawGraph();
    if(s.streaming)dirty=true;   // keep refreshing while construction runs
   }catch(e){hud.textContent='error: '+e}
   busy=false}
@@ -163,10 +202,13 @@ class ViewerServer:
             s.color_by_node = cmode == 1
             s.color_by_lod = cmode == 2
             s.color_white = cmode == 3
+            import time as _time
+            t0 = _time.perf_counter()
             if (eng.stream is not None and not eng.last_batch_finished):
                 img, stats = eng.frame(self.width, self.height)   # simultaneous
             else:
                 img, stats = eng.render(self.width, self.height)
+            render_ms = (_time.perf_counter() - t0) * 1e3
             import dataclasses as _dc
             import jax
             self._last_stats = {
@@ -174,8 +216,58 @@ class ViewerServer:
                 for k, v in _dc.asdict(jax.tree.map(np.asarray, stats)).items()}
             self._last_stats["streaming"] = bool(
                 eng.stream is not None and not eng.last_batch_finished)
+            self._last_stats["render_ms"] = round(render_ms, 2)
         rgb = image_to_rgba8(img)[::-1, :, :3]
         return encode_png(np.ascontiguousarray(rgb))
+
+    def _bench(self, q) -> dict:
+        """N timed frames under the render lock -> reference-style stats table
+        (min/max/avg per kernel, main_progressive_octree.cpp:1505-1556).
+        `reset=1` re-opens the last file set first, so the timed frames cover
+        the whole simultaneous build+render ("Reset + Benchmark",
+        main_progressive_octree.cpp:1254-1258)."""
+        import time as _time
+        eng = self.engine
+        n = max(1, min(int(float(q.get("frames", ["50"])[0])), 500))
+        reset = q.get("reset", ["0"])[0] == "1"
+        samples = []
+        with self._lock:
+            if reset and getattr(eng, "_last_paths", None):
+                eng.open(eng._last_paths)
+            o = eng.orbit
+            yaw0 = o.yaw
+            i = 0
+            # under reset, keep framing until the stream drains (the bench is
+            # the load); otherwise exactly n frames
+            while (i < n) or (reset and not eng.last_batch_finished):
+                o.yaw = yaw0 + 0.005 * i
+                eng.camera.world = o.world()
+                t0 = _time.perf_counter()
+                if eng.stream is not None and not eng.last_batch_finished:
+                    eng.frame(self.width, self.height)
+                else:
+                    eng.render(self.width, self.height)
+                samples.append((_time.perf_counter() - t0) * 1e3)
+                i += 1
+                if i >= 10000:   # stuck-stream guard
+                    break
+            o.yaw = yaw0
+            rep = eng.report()
+        rows = [("frame", dict(count=len(samples),
+                               avg_ms=sum(samples) / len(samples),
+                               min_ms=min(samples), max_ms=max(samples)))]
+        rows += [(k, v) for k, v in rep.get("timings", {}).items()
+                 if v.get("count")]
+        lines = [f"{'kernel':<10}{'count':>7}{'avg ms':>10}{'min ms':>10}"
+                 f"{'max ms':>10}"]
+        for name, r in rows:
+            lines.append(f"{name:<10}{r['count']:>7}{r['avg_ms']:>10.2f}"
+                         f"{r['min_ms']:>10.2f}{r['max_ms']:>10.2f}")
+        lines.append(f"nodes {rep.get('num_nodes')}  "
+                     f"points {rep.get('num_points')}  "
+                     f"voxels {rep.get('num_voxels_stored')}")
+        return {"frames": len(samples), "timings": dict(rows),
+                "table": "\n".join(lines)}
 
     def page(self) -> str:
         o = self.engine.orbit
@@ -211,6 +303,10 @@ class ViewerServer:
                     elif u.path == "/stats":
                         self._send(200, "application/json",
                                    json.dumps(viewer._last_stats).encode())
+                    elif u.path == "/bench":
+                        out = viewer._bench(parse_qs(u.query))
+                        self._send(200, "application/json",
+                                   json.dumps(out).encode())
                     else:
                         self._send(404, "text/plain", b"not found")
                 except BrokenPipeError:

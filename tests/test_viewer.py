@@ -77,3 +77,13 @@ def test_viewer_serves_frames():
     assert stats["num_nodes"] >= 1
     assert stats["num_visible_points"] + stats["num_visible_voxels"] > 0
     assert stats["streaming"] is False
+    assert stats["render_ms"] > 0
+
+    # /bench: timed frames + the reference-style copyable stats table
+    # (main_progressive_octree.cpp:1505-1556)
+    bench = json.loads(urllib.request.urlopen(
+        base + "/bench?frames=3", timeout=120).read())
+    assert bench["frames"] == 3
+    assert bench["timings"]["frame"]["count"] == 3
+    assert bench["timings"]["frame"]["min_ms"] > 0
+    assert "kernel" in bench["table"] and "nodes" in bench["table"]
