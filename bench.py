@@ -468,53 +468,16 @@ def main() -> int:
             t_c = time.perf_counter()
             simlod_fmt.write(path, xyz[:FILE_POINTS], rgba[:FILE_POINTS])
             log(f"wrote {path} in {time.perf_counter()-t_c:.0f}s")
-        eng = Engine(fcfg)
-        # warm pass compiles the chunked programs; on the tunneled runtime the
-        # first run after a compile storm pays a large one-time degradation,
-        # so one sacrificial pass separates warm from the timed reps when the
-        # deadline allows it
-        t_c = time.perf_counter()
-        eng.open([path])
-        eng.load_all()
-        log(f"file warm load in {time.perf_counter()-t_c:.0f}s")
-        eng.stream.stop()
-        if time_left() > 200:
-            t_c = time.perf_counter()
-            eng.open([path])
-            eng.load_all()
-            log(f"file sacrificial load in {time.perf_counter()-t_c:.0f}s")
-            eng.stream.stop()
-        t_file = float("inf")
-        for rep in range(2):   # best-of-2: tunnel-runtime variance is large
-            t0 = time.perf_counter()
-            eng.open([path])
-            eng.load_all()
-            _ = int(eng.state.num_nodes)
-            dt = time.perf_counter() - t0
-            st = eng.stream.stats()
-            eng.stream.stop()
-            log(f"file rep{rep}: {dt:.2f}s = {FILE_POINTS/dt/1e6:.2f} MP/s "
-                f"(nodes {int(eng.state.num_nodes)}) stream={st}")
-            t_file = min(t_file, dt)
-            if rep == 0 and time_left() < 60:
-                break
-        file_mps = FILE_POINTS / t_file / 1e6
-        log(f"file e2e ({FILE_POINTS} pts): {t_file:.2f}s = {file_mps:.1f} MP/s")
-        RESULT["file_e2e_mps"] = round(file_mps, 2)
-        RESULT["file_stream_profile"] = {
-            k: round(v, 3) if isinstance(v, float) else v
-            for k, v in st.items()}
-
-        # --- per-format phases (reference README.md:10: LAS 200-300 /
-        # LAZ ~30 / simlod up to 580 MP/s on a 4090 + 16-core host; this
-        # host has ONE core, so decode-bound formats scale accordingly) ---
-        if phase_fits("file_formats", 90):
+        # format files + sizes up front: their scan-shape programs preload
+        # with the simlod ones, BEFORE any build executes
+        do_formats = time_left() > 330
+        n_las = int(os.environ.get("BENCH_LAS_POINTS",
+                                   min(FILE_POINTS, 16_000_000)))
+        n_laz = int(os.environ.get("BENCH_LAZ_POINTS",
+                                   min(FILE_POINTS, 4_000_000)))
+        if do_formats:
             from simlod_tpu.formats import las as las_fmt
             from simlod_tpu.formats import laz as laz_fmt
-            n_las = int(os.environ.get("BENCH_LAS_POINTS",
-                                       min(FILE_POINTS, 16_000_000)))
-            n_laz = int(os.environ.get("BENCH_LAZ_POINTS",
-                                       min(FILE_POINTS, 4_000_000)))
             las_path = os.path.join(tempfile.gettempdir(), f"bench_{n_las}.las")
             laz_path = os.path.join(tempfile.gettempdir(), f"bench_{n_laz}.laz")
             if not os.path.exists(las_path):
@@ -525,6 +488,42 @@ def main() -> int:
                 t_c = time.perf_counter()
                 laz_fmt.write(laz_path, xyz[:n_laz], rgba[:n_laz])
                 log(f"wrote {laz_path} in {time.perf_counter()-t_c:.0f}s")
+        eng = Engine(fcfg)
+        # AOT warm-up: compile every load program WITHOUT executing one.
+        # Matches the reference contract (NVRTC compiles all kernels at
+        # startup, so the timed drag-drop contains zero compilation) AND
+        # keeps the tunneled runtime's H2D fast path alive — device_put runs
+        # ~1.1 GB/s until the first build EXECUTES, ~40 MB/s after
+        # (measured r5, scripts/h2d_bench.py + docs/PERFORMANCE.md).
+        eng.open([path])
+        t_c = eng.preload_compile(
+            extra_totals=(n_las, n_laz) if do_formats else ())
+        eng.stream.stop()
+        log(f"AOT preload (no execution) in {t_c:.0f}s")
+        # ONE timed rep: the first build execution flips the tunnel's H2D
+        # fast path off for the life of the process, so rep0 IS the
+        # representative drag-drop number; later in-process reps measure the
+        # collapsed-put regime, not the load path
+        t0 = time.perf_counter()
+        eng.open([path])
+        eng.load_all()
+        _ = int(eng.state.num_nodes)
+        t_file = time.perf_counter() - t0
+        st = eng.stream.stats()
+        eng.stream.stop()
+        file_mps = FILE_POINTS / t_file / 1e6
+        log(f"file e2e ({FILE_POINTS} pts): {t_file:.2f}s = {file_mps:.1f} "
+            f"MP/s (nodes {int(eng.state.num_nodes)}) stream={st}")
+        RESULT["file_e2e_mps"] = round(file_mps, 2)
+        RESULT["file_stream_profile"] = {
+            k: round(v, 3) if isinstance(v, float) else v
+            for k, v in st.items()}
+
+        # --- per-format phases (reference README.md:10: LAS 200-300 /
+        # LAZ ~30 / simlod up to 580 MP/s on a 4090 + 16-core host; this
+        # host has ONE core, so decode-bound formats scale accordingly;
+        # these reps run in the collapsed-put regime — see note above) ---
+        if do_formats and phase_fits("file_formats", 90):
             for kind, pth, npts in (("las", las_path, n_las),
                                     ("laz", laz_path, n_laz)):
                 best = float("inf")
@@ -537,6 +536,8 @@ def main() -> int:
                     dt = time.perf_counter() - t0
                     eng.stream.stop()
                     best = min(best, dt)
+                    if time_left() < 120:
+                        break
                 RESULT[f"file_{kind}_mps"] = round(npts / best / 1e6, 2)
                 log(f"file {kind} e2e ({npts} pts): {best:.2f}s = "
                     f"{npts/best/1e6:.2f} MP/s")
@@ -544,59 +545,7 @@ def main() -> int:
         gc.collect()
 
     # =====================================================================
-    # Phase 4: simultaneous streaming + orbit render (the property the
-    # reference is NAMED for: renderCUDA() + updateOctree() alternating per
-    # frame, main_progressive_octree.cpp:1176-1180)
-    # =====================================================================
-    if FILE_BENCH and os.environ.get("BENCH_STREAMFRAME", "1") == "1" \
-            and phase_fits("streamframe", 120):
-        import tempfile
-        from simlod_tpu.engine import Engine
-        from simlod_tpu.formats import simlod as simlod_fmt
-        n_sf = int(os.environ.get("BENCH_STREAMFRAME_POINTS",
-                                  min(FILE_POINTS, 16_000_000)))
-        sf_path = os.path.join(tempfile.gettempdir(), f"bench_{n_sf}.simlod")
-        if not os.path.exists(sf_path):
-            simlod_fmt.write(sf_path, xyz[:n_sf], rgba[:n_sf])
-        sf_cfg = EngineConfig(
-            node_capacity=1 << 19,
-            point_capacity=max(n_sf + (1 << 20), 1 << 24),
-            voxel_capacity=1 << 26, segment_capacity=1 << 21,
-            step_points=STEP_POINTS, spill_capacity=1 << 20,
-            seg_select_cap=2048,
-            # ONE step per fused dispatch: frame pacing at the reference's
-            # granularity (<=20 x 1M batches/frame, voxels.cu:883) — the
-            # load-path K-step chunks would make every frame ingest 8M points
-            steps_per_dispatch=1,
-            max_render_points=4 << 20, max_render_voxels=4 << 20)
-        for rep in ("warm", "timed"):
-            eng = Engine(sf_cfg)
-            eng.settings.frame_budget_ms = 50.0
-            # the simultaneous loop renders through the screen-budgeted draw
-            # pool (bounded staleness; VERDICT r4 item 6)
-            eng.settings.point_budget = 1.0
-            eng.open([sf_path])
-            t0 = time.perf_counter()
-            frames = 0
-            while not eng.last_batch_finished:
-                eng.orbit.yaw += 0.03           # orbiting camera while loading
-                eng.camera.world = eng.orbit.world()
-                img, _st = eng.frame(WIDTH, HEIGHT)
-                frames += 1
-            dt = time.perf_counter() - t0
-            eng.stream.stop()
-            log(f"streamframe {rep}: {frames} frames in {dt:.2f}s "
-                f"({dt/max(frames,1)*1e3:.1f} ms/frame, "
-                f"{n_sf/dt/1e6:.2f} MP/s concurrent)")
-            if rep == "warm" and time_left() < 45:
-                break
-        RESULT["frame_ms_streaming"] = round(dt / max(frames, 1) * 1e3, 2)
-        RESULT["ingest_mps_streaming"] = round(n_sf / dt / 1e6, 2)
-        del eng
-        gc.collect()
-
-    # =====================================================================
-    # Phase 5: out-of-core bricks on the real device (capability the reference
+    # Phase 4: out-of-core bricks on the real device (capability the reference
     # LACKS — README.md:12 caps at GPU-resident)
     # =====================================================================
     if os.environ.get("BENCH_OOC", "1") == "1" and phase_fits("ooc", 100):
@@ -645,7 +594,7 @@ def main() -> int:
         gc.collect()
 
     # =====================================================================
-    # Phase 6: sharded engine at mesh=1 on the real chip: the sharded
+    # Phase 5: sharded engine at mesh=1 on the real chip: the sharded
     # program's cost vs the single-chip one
     # =====================================================================
     if os.environ.get("BENCH_SHARDED", "1") == "1" \
@@ -682,6 +631,80 @@ def main() -> int:
             if time_left() < 40:
                 break
         del seng
+        gc.collect()
+
+    # =====================================================================
+    # Phase 6: simultaneous streaming + orbit render (the property the
+    # reference is NAMED for: renderCUDA() + updateOctree() alternating per
+    # frame, main_progressive_octree.cpp:1176-1180). Runs AFTER ooc/sharded:
+    # its warm rep is the least budget-predictable phase (r4/r5 runs starved
+    # everything behind it), and the deep child is independent anyway.
+    # =====================================================================
+    if FILE_BENCH and os.environ.get("BENCH_STREAMFRAME", "1") == "1" \
+            and phase_fits("streamframe", 120):
+        import tempfile
+        from simlod_tpu.engine import Engine
+        from simlod_tpu.formats import simlod as simlod_fmt
+        n_sf = int(os.environ.get("BENCH_STREAMFRAME_POINTS",
+                                  min(FILE_POINTS, 16_000_000)))
+        sf_path = os.path.join(tempfile.gettempdir(), f"bench_{n_sf}.simlod")
+        if not os.path.exists(sf_path):
+            simlod_fmt.write(sf_path, xyz[:n_sf], rgba[:n_sf])
+        sf_cfg = EngineConfig(
+            node_capacity=1 << 19,
+            point_capacity=max(n_sf + (1 << 20), 1 << 24),
+            voxel_capacity=1 << 26, segment_capacity=1 << 21,
+            step_points=STEP_POINTS, spill_capacity=1 << 20,
+            seg_select_cap=2048,
+            # ONE step per fused dispatch: frame pacing at the reference's
+            # granularity (<=20 x 1M batches/frame, voxels.cu:883) — the
+            # load-path K-step chunks would make every frame ingest 8M points
+            steps_per_dispatch=1,
+            max_render_points=4 << 20, max_render_voxels=4 << 20)
+        sf_results = {}
+        for rep in ("warm", "timed"):
+            eng = Engine(sf_cfg)
+            eng.settings.frame_budget_ms = 50.0
+            # the simultaneous loop renders through the screen-budgeted draw
+            # pool (bounded staleness; VERDICT r4 item 6); the engine's
+            # stream-pins hold every program shape constant across the load,
+            # so the warm rep compiles each program ONCE
+            eng.settings.point_budget = 1.0
+            eng.open([sf_path])
+            t0 = time.perf_counter()
+            frames = 0
+            aborted = False
+            while not eng.last_batch_finished:
+                # intra-phase deadline guard: the warm rep's compile storm is
+                # unbounded on a bad-weather tunnel (r4 died inside a phase)
+                if time_left() < 45:
+                    log(f"streamframe {rep} aborted by deadline after "
+                        f"{frames} frames")
+                    RESULT["skipped"].append(f"streamframe_{rep}")
+                    aborted = True
+                    break
+                eng.orbit.yaw += 0.03           # orbiting camera while loading
+                eng.camera.world = eng.orbit.world()
+                img, _st = eng.frame(WIDTH, HEIGHT)
+                frames += 1
+            dt = time.perf_counter() - t0
+            eng.stream.stop()
+            if aborted:
+                break
+            sf_results[rep] = (frames, dt)
+            log(f"streamframe {rep}: {frames} frames in {dt:.2f}s "
+                f"({dt/max(frames,1)*1e3:.1f} ms/frame, "
+                f"{n_sf/dt/1e6:.2f} MP/s concurrent)")
+            if rep == "warm" and time_left() < 45:
+                break
+        rec = sf_results.get("timed") or sf_results.get("warm")
+        if rec:   # the timed (compile-free) rep is the number; a warm-only
+            frames, dt = rec   # record is flagged so it can't masquerade
+            RESULT["frame_ms_streaming"] = round(dt / max(frames, 1) * 1e3, 2)
+            RESULT["ingest_mps_streaming"] = round(n_sf / dt / 1e6, 2)
+            if "timed" not in sf_results:
+                RESULT["streaming_rep"] = "warm-only"
+        del eng
         gc.collect()
 
     # =====================================================================

@@ -111,6 +111,25 @@ def _collect_stats(cfg: EngineConfig, state: OctreeState, fstats: FrameStats | N
 
 
 @functools.partial(jax.jit, static_argnums=1)
+def _bulk_assemble(parts, KB: int):
+    """Concatenate staged [K,B] chunk planes into one [KB,B] scan input
+    (zero-count pad steps <= 12.5% overwork; one program so preload_compile
+    can AOT-lower it — otherwise the concat would compile inside the timed
+    drag-drop region that the reference keeps compile-free)."""
+    cols = [jnp.concatenate([p[i] for p in parts]) if len(parts) > 1
+            else parts[0][i] for i in range(4)]
+    counts = (jnp.concatenate([p[4] for p in parts]) if len(parts) > 1
+              else parts[0][4]).astype(jnp.int32)
+    K = cols[0].shape[0]
+    if KB != K:
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((KB - K,) + a.shape[1:], a.dtype)])
+        cols = [pad(a) for a in cols]
+        counts = jnp.concatenate([counts, jnp.zeros((KB - K,), jnp.int32)])
+    return (*cols, counts)
+
+
+@functools.partial(jax.jit, static_argnums=1)
 def _pool_need(state: OctreeState, cap: int):
     """Drawn-sample upper bounds for the draw-pool copy (module-level so the
     reduction compiles once, not per pool rebuild — ADVICE r4)."""
@@ -221,6 +240,7 @@ class Engine:
         self._cached_pool_ws = None
         self._pool_ws_age = 0
         self._last_truncated = False
+        self._stream_pins = None
         self._last_compacted = 0
         self.last_batch_finished = False
         self._capacity_flag = False
@@ -244,9 +264,55 @@ class Engine:
                                   chunk_steps=self.cfg.steps_per_dispatch)
         box = self.stream.box_max - self.stream.box_min
         self.reset(np.zeros(3, np.float32), box.astype(np.float32))
+        self._stream_pins = self._make_stream_pins(self.stream.total_points)
         self._stream_iter = iter(self.stream)
         self._consumed_chunks = 0
         return self.stream
+
+    # --- streaming shape pins (compile-storm control) ---
+    def _make_stream_pins(self, total: int) -> dict | None:
+        """Grow-only shape seeds for the SIMULTANEOUS loop.
+
+        Every render/pool program specializes on static window buckets. Left to
+        the live watermarks those buckets walk their whole ladder during a load
+        (pool copies, sample windows, directories all grow with the octree), so
+        each draw-pool rebuild recompiled build_draw_pool + probe + the fused
+        step — r5 measured 9 frames in 997 s on the tunneled device, all
+        compile. Seeding every bucket at its END-OF-LOAD estimate (known: the
+        stream header gives total points) makes each program compile ONCE per
+        stream; estimates that turn out low simply grow past the seed (max()
+        below — one extra compile, never incorrectness, since undersized pool
+        windows degrade to the exact render path, drawpool.py:119-124)."""
+        if total <= 0 or self.state is None:
+            return None
+        cfg = self.cfg
+        vox_len = self.state.vox_k0.shape[0]
+        # ~1 node / 3000 pts overestimates the measured terrain density
+        # (9033 nodes / 64M pts) ~3x; dense scans grow past the seed once
+        node_est = min(_pow2(max(total // 3000, 4096)), cfg.node_capacity)
+        seg_est = min(_pow2(max(total // 8000, 4096)), cfg.segment_capacity)
+        vox_est = min(int(total * 0.85) + 1024, vox_len)
+        return dict(
+            pool_w=_size_bucket(ragged.window_for(total, seg_est)),
+            vox_w=min(_size_bucket(vox_est), (vox_len // 128) * 128),
+            node_w=directory_window(node_est, cfg.node_capacity),
+            seg_w=directory_window(seg_est, cfg.segment_capacity),
+            pc=_size_bucket(total + 256 * node_est + 128),
+            vc=_size_bucket(vox_est + 256 * node_est + 128),
+            # pooled sample windows: seeded at the screen-budget steady state
+            # measured at 1080p/point_budget=1 (pp 262k, pv 1.31M)
+            ws=(sample_window(400_000, 0, cfg.max_render_points),
+                sample_window(1_600_000, 0, cfg.max_render_voxels),
+                sample_window(1, 0, cfg.max_render_points),
+                sample_window(1, 0, cfg.max_render_voxels)),
+            vox_compact_w=min(_pow2(vox_est), vox_len),
+        )
+
+    def _pins_active(self) -> dict | None:
+        """Pins apply only WHILE streaming: the post-load render path keeps its
+        exact live-watermark buckets (tighter windows, measured steady-state)."""
+        p = getattr(self, "_stream_pins", None)
+        return p if (p is not None and not self.last_batch_finished) else None
 
     # --- construction ---
     def ingest(self, x, y, z, rgba, count, sync: bool = True) -> None:
@@ -354,25 +420,19 @@ class Engine:
                     else:
                         planes.append(it[:4] + (np.asarray(it[4], np.int32),))
                 del items
-                if len(planes) == 1:
-                    bx, by, bz, bc, counts = planes[0]
-                    counts = jnp.asarray(counts, jnp.int32)
-                else:
-                    bx, by, bz, bc, counts = (
-                        jnp.concatenate([p[i] for p in planes])
-                        for i in range(5))
-                    counts = jnp.asarray(counts, jnp.int32)
+                ks = tuple(int(p[0].shape[0]) for p in planes)
+                KB = _scan_bucket(sum(ks))
+                asm = self._aot_for_cfg().get(("assemble", ks))
+                bx, by, bz, bc, counts = (
+                    asm(tuple(planes)) if asm is not None
+                    else _bulk_assemble(tuple(planes), KB))
                 del planes
-                K = int(bx.shape[0])
-                KB = _scan_bucket(K)
-                if KB != K:   # zero-count pad steps (<= 12.5% overwork)
-                    pad = lambda a: jnp.concatenate(
-                        [a, jnp.zeros((KB - K,) + a.shape[1:], a.dtype)])
-                    bx, by, bz, bc = pad(bx), pad(by), pad(bz), pad(bc)
-                    counts = jnp.concatenate(
-                        [counts, jnp.zeros((KB - K,), jnp.int32)])
-                self.state = build.build_many(self.cfg, self.state, bx, by,
-                                              bz, bc, counts)
+                ex = self._aot_for_cfg().get(("build_many", KB))
+                if ex is not None:   # AOT-precompiled (preload_compile)
+                    self.state = ex(self.state, bx, by, bz, bc, counts)
+                else:
+                    self.state = build.build_many(self.cfg, self.state, bx, by,
+                                                  bz, bc, counts)
                 del bx, by, bz, bc
             self.finish_splits()
             self._splits_finished = True
@@ -404,6 +464,69 @@ class Engine:
         self._capacity_flag = bool(self.state.mem_capacity_reached)
         self.t_build.add(time.perf_counter() - t0)
 
+    def preload_compile(self, extra_totals=()) -> float:
+        """AOT-compile the bulk-load programs WITHOUT executing anything;
+        returns the compile seconds. Call after open(), before load_all().
+        extra_totals: other dataset point counts this engine will later load
+        (their scan-bucket program variants are compiled now too).
+
+        Two reasons this is its own step instead of a warm-up load:
+        (a) it matches the reference's contract — NVRTC compiles all kernels
+            at startup (CudaModularProgram.h:62-135), so its headline
+            drag-drop time contains zero compilation; and
+        (b) on the tunneled TPU runtime the H2D fast path survives program
+            COMPILATION but not EXECUTION (measured r5: device_put runs
+            ~1.1 GB/s in a fresh process and after lower().compile() of the
+            build programs, but collapses ~25x persistently once any build
+            executes). Compiling AOT and staging before the first dispatch
+            keeps the whole load at wire speed.
+        """
+        if self.stream is None or self.state is None:
+            return 0.0
+        t0 = time.perf_counter()
+        cfg, B = self.cfg, self.cfg.step_points
+        st_sds = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.state)
+        aot = getattr(self, "_aot", None) or {}
+        for total in (self.stream.total_points, *extra_totals):
+            n_steps = max((int(total) + B - 1) // B, 1)
+            KB = _scan_bucket(n_steps)
+            if ("build_many", KB) not in aot:
+                col = lambda dt: jax.ShapeDtypeStruct((KB, B), dt)
+                aot[("build_many", KB)] = build.build_many.lower(
+                    cfg, st_sds, col(jnp.float32), col(jnp.float32),
+                    col(jnp.float32), col(jnp.uint32),
+                    jax.ShapeDtypeStruct((KB,), jnp.int32)).compile()
+            # the staged-plane concat the timed bulk path dispatches first
+            kc = max(cfg.steps_per_dispatch, 1)
+            ks = [kc] * (n_steps // kc) + ([n_steps % kc] if n_steps % kc else [])
+            item = lambda k: tuple(
+                jax.ShapeDtypeStruct((k, B), dt)
+                for dt in (jnp.float32,) * 3 + (jnp.uint32,)) + (
+                jax.ShapeDtypeStruct((k,), jnp.int32),)
+            parts_sds = tuple(item(k) for k in ks)
+            akey = ("assemble", tuple(ks))
+            if akey not in aot:
+                aot[akey] = _bulk_assemble.lower(parts_sds, KB).compile()
+        if "overfull" not in aot:
+            aot["overfull"] = build.overfull_leaf_ids.lower(
+                cfg, st_sds).compile()
+            ids_sds, _ = jax.eval_shape(
+                functools.partial(build.overfull_leaf_ids, cfg), st_sds)
+            aot["split_finish"] = build.split_finish.lower(
+                cfg, st_sds, ids_sds).compile()
+        self._aot = aot
+        self._aot_cfg = self.cfg   # identity guard: cfg replace invalidates
+        return time.perf_counter() - t0
+
+    def _aot_for_cfg(self) -> dict:
+        """AOT executables, valid only while cfg is the exact object they were
+        lowered against (auto-cfg re-open and candidate-window bumps replace
+        cfg, changing program semantics)."""
+        if getattr(self, "_aot_cfg", None) is self.cfg:
+            return getattr(self, "_aot", {})
+        return {}
+
     def _end_of_stream(self) -> None:
         """Stream drained (or capacity reached): run the one-time end-of-load
         split convergence on EVERY consumption path — ingest_next drives the
@@ -419,12 +542,16 @@ class Engine:
         later batch revisited them (the reference's expand() instead converges
         within each batch, voxels.cu:385-414). Loops the forced-selection pass
         until no leaf is overfull; returns rounds run (0 in the common case)."""
+        aot = self._aot_for_cfg()
+        of, sf = aot.get("overfull"), aot.get("split_finish")
         rounds = 0
         while rounds < max_rounds:
-            ids, n = build.overfull_leaf_ids(self.cfg, self.state)
+            ids, n = (of(self.state) if of is not None
+                      else build.overfull_leaf_ids(self.cfg, self.state))
             if int(n) == 0:
                 break
-            self.state = build.split_finish(self.cfg, self.state, ids)
+            self.state = (sf(self.state, ids) if sf is not None
+                          else build.split_finish(self.cfg, self.state, ids))
             rounds += 1
         return rounds
 
@@ -450,7 +577,10 @@ class Engine:
         used = int(self.state.vox_used)
         threshold = int(self.cfg.voxel_capacity * self.cfg.voxel_compact_watermark)
         if force or used > threshold:
-            self.state = build.compact_voxels_auto(self.cfg, self.state)
+            pins = self._pins_active()
+            self.state = build.compact_voxels_auto(
+                self.cfg, self.state,
+                min_window=pins["vox_compact_w"] if pins else 0)
             self._last_compacted = int(self.state.vox_used)
             # directory hygiene: keep the live segment count inside the spill
             # selection scan window (build.spill_calc) with headroom
@@ -562,6 +692,13 @@ class Engine:
         live_nodes = int(self.state.num_nodes)
         pc = _size_bucket(int(pc_need) + 256 * live_nodes + 128)
         vc = _size_bucket(int(vc_need) + 256 * live_nodes + 128)
+        pins = self._pins_active()
+        if pins:
+            # grow-only seeds: every mid-stream rebuild reuses ONE program
+            pool_w = max(pool_w, pins["pool_w"])
+            vox_w = max(vox_w, pins["vox_w"])
+            node_w = max(node_w, pins["node_w"])
+            pc, vc = max(pc, pins["pc"]), max(vc, pins["vc"])
         self._draw_pool = drawpool_mod.build_draw_pool(
             self.cfg, self.state, pool_w, vox_w, node_w, cap, pc, vc)
         self._pool_key = key
@@ -574,6 +711,9 @@ class Engine:
             (pp, pv, ep, ev), prev,
             (self.cfg.max_render_points, self.cfg.max_render_voxels,
              self.cfg.max_render_points, self.cfg.max_render_voxels)))
+        pins = self._pins_active()
+        if pins:
+            ws = tuple(max(w, q) for w, q in zip(ws, pins["ws"]))
         self._last_pool_windows = ws
         return ws
 
@@ -629,6 +769,10 @@ class Engine:
                                   self.cfg.node_capacity)
             sw = directory_window(int(self.state.num_segments),
                                   self.cfg.segment_capacity)
+            pins = self._pins_active()
+            if pins:
+                nw = max(nw, pins["node_w"])
+                sw = max(sw, pins["seg_w"])
             img, fstats = render_frame_pooled(
                 self.cfg, self.state, self._draw_pool, width, height, u,
                 ppw, pvw, epw, evw, nw, sw)
@@ -665,7 +809,10 @@ class Engine:
             return self.render(width, height)
         t0 = time.perf_counter()
         for it in items[:-1]:
-            self.ingest_chunk(it, sync=False)
+            if isinstance(it[4], (int, np.integer)):   # chunk_steps == 1 stream
+                self.ingest(*it, sync=False)
+            else:
+                self.ingest_chunk(it, sync=False)
         u = self.uniforms(width, height)
         last = items[-1]
         pooled = self.settings.point_budget > 0
@@ -676,6 +823,10 @@ class Engine:
                                   self.cfg.node_capacity)
             sw = directory_window(int(self.state.num_segments),
                                   self.cfg.segment_capacity)
+            pins = self._pins_active()
+            if pins:
+                nw = max(nw, pins["node_w"])
+                sw = max(sw, pins["seg_w"])
             if isinstance(last[4], (int, np.integer)):  # wrap as a K=1 chunk
                 x, y, z, rgba, count = last
                 last = (x[None], y[None], z[None], rgba[None],

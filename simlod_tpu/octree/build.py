@@ -1275,13 +1275,16 @@ def _compact_voxels_window(cfg: EngineConfig, state: OctreeState, w: int):
     return _compact_voxels_core(cfg, state, w)
 
 
-def compact_voxels_auto(cfg: EngineConfig, state: OctreeState) -> OctreeState:
+def compact_voxels_auto(cfg: EngineConfig, state: OctreeState,
+                        min_window: int = 0) -> OctreeState:
     """Host-driven compaction sized to the live store (power-of-two window buckets,
-    so at most log2 variants ever compile)."""
+    so at most log2 variants ever compile). min_window floors the bucket so a
+    caller that compacts repeatedly during a stream (the simultaneous loop's
+    draw-pool cadence) reuses ONE program instead of walking the pow2 ladder."""
     used = int(state.vox_used)
     v_cap = state.vox_node.shape[0]
     w = 1 << max(10, (max(used, 1) - 1).bit_length())
-    w = min(w, v_cap)
+    w = min(max(w, min_window), v_cap)
     return _compact_voxels_window(cfg, state, w)
 
 
