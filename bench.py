@@ -10,12 +10,15 @@ parameters (50k leaf cap, 128^3 voxel grids).
 Survivability contract (VERDICT r4 item 1 — round 4 recorded rc=124 and NO numbers):
   - a global wall-clock deadline (BENCH_DEADLINE, default 1500 s) is checked before
     every phase; phases that don't fit are skipped and listed in "skipped";
-  - headline phases (device build, renders) run FIRST;
+  - headline phases (file drag-drop e2e, device build, renders) run FIRST —
+    file e2e before anything executes a build, because the tunneled runtime's
+    H2D fast path dies at the first build execution (docs/PERFORMANCE.md r5);
   - SIGTERM/SIGINT print the partial result JSON before exiting, so even a driver
     kill records every number measured up to that point.
 """
 from __future__ import annotations
 
+import gc
 import json
 import os
 import signal
@@ -195,7 +198,107 @@ def main() -> int:
         batches.append((cols[0], cols[1], cols[2], cc, hi - lo))
 
     # =====================================================================
-    # Phase 1 (headline): device-resident build — batches staged on device,
+    # Phase 1 (headline): file-based end-to-end: disk -> decode -> H2D ->
+    # build (the reference's headline metric is a drag-drop load,
+    # README.md:21). Runs FIRST in the process: the tunneled runtime's
+    # H2D fast path (~1.1 GB/s) survives AOT compilation but dies the
+    # moment ANY build program executes — so this phase must see the
+    # process before the device-build/render phases touch it.
+    # =====================================================================
+    if FILE_BENCH and phase_fits("file_e2e", 150):
+        import tempfile
+        from simlod_tpu.engine import Engine
+        from simlod_tpu.formats import simlod as simlod_fmt
+        fcfg = EngineConfig(
+            node_capacity=1 << 19,
+            point_capacity=max(FILE_POINTS + (1 << 20), 1 << 24),
+            voxel_capacity=1 << 26, segment_capacity=1 << 21,
+            step_points=STEP_POINTS, spill_capacity=1 << 20,
+            seg_select_cap=2048,
+            max_render_points=4 << 20, max_render_voxels=4 << 20)
+        path = os.path.join(tempfile.gettempdir(), f"bench_{FILE_POINTS}.simlod")
+        if not os.path.exists(path):
+            t_c = time.perf_counter()
+            simlod_fmt.write(path, xyz[:FILE_POINTS], rgba[:FILE_POINTS])
+            log(f"wrote {path} in {time.perf_counter()-t_c:.0f}s")
+        # format files + sizes up front: their scan-shape programs preload
+        # with the simlod ones, BEFORE any build executes
+        do_formats = time_left() > 330
+        n_las = int(os.environ.get("BENCH_LAS_POINTS",
+                                   min(FILE_POINTS, 16_000_000)))
+        n_laz = int(os.environ.get("BENCH_LAZ_POINTS",
+                                   min(FILE_POINTS, 4_000_000)))
+        if do_formats:
+            from simlod_tpu.formats import las as las_fmt
+            from simlod_tpu.formats import laz as laz_fmt
+            las_path = os.path.join(tempfile.gettempdir(), f"bench_{n_las}.las")
+            laz_path = os.path.join(tempfile.gettempdir(), f"bench_{n_laz}.laz")
+            if not os.path.exists(las_path):
+                t_c = time.perf_counter()
+                las_fmt.write(las_path, xyz[:n_las], rgba[:n_las])
+                log(f"wrote {las_path} in {time.perf_counter()-t_c:.0f}s")
+            if not os.path.exists(laz_path):
+                t_c = time.perf_counter()
+                laz_fmt.write(laz_path, xyz[:n_laz], rgba[:n_laz])
+                log(f"wrote {laz_path} in {time.perf_counter()-t_c:.0f}s")
+        eng = Engine(fcfg)
+        # AOT warm-up: compile every load program WITHOUT executing one.
+        # Matches the reference contract (NVRTC compiles all kernels at
+        # startup, so the timed drag-drop contains zero compilation) AND
+        # keeps the tunneled runtime's H2D fast path alive — device_put runs
+        # ~1.1 GB/s until the first build EXECUTES, ~40 MB/s after
+        # (measured r5, scripts/h2d_bench.py + docs/PERFORMANCE.md).
+        eng.open([path])
+        t_c = eng.preload_compile(
+            extra_totals=(n_las, n_laz) if do_formats else ())
+        eng.stream.stop()
+        log(f"AOT preload (no execution) in {t_c:.0f}s")
+        # ONE timed rep: the first build execution flips the tunnel's H2D
+        # fast path off for the life of the process, so rep0 IS the
+        # representative drag-drop number; later in-process reps measure the
+        # collapsed-put regime, not the load path
+        t0 = time.perf_counter()
+        eng.open([path])
+        eng.load_all()
+        _ = int(eng.state.num_nodes)
+        t_file = time.perf_counter() - t0
+        st = eng.stream.stats()
+        eng.stream.stop()
+        file_mps = FILE_POINTS / t_file / 1e6
+        log(f"file e2e ({FILE_POINTS} pts): {t_file:.2f}s = {file_mps:.1f} "
+            f"MP/s (nodes {int(eng.state.num_nodes)}) stream={st}")
+        RESULT["file_e2e_mps"] = round(file_mps, 2)
+        RESULT["file_stream_profile"] = {
+            k: round(v, 3) if isinstance(v, float) else v
+            for k, v in st.items()}
+
+        # --- per-format phases (reference README.md:10: LAS 200-300 /
+        # LAZ ~30 / simlod up to 580 MP/s on a 4090 + 16-core host; this
+        # host has ONE core, so decode-bound formats scale accordingly;
+        # these reps run in the collapsed-put regime — see note above) ---
+        if do_formats and phase_fits("file_formats", 90):
+            for kind, pth, npts in (("las", las_path, n_las),
+                                    ("laz", laz_path, n_laz)):
+                best = float("inf")
+                for rep in range(2):
+                    laz_fmt._cache.clear()   # honest e2e: decode every rep
+                    t0 = time.perf_counter()
+                    eng.open([pth])
+                    eng.load_all()
+                    _ = int(eng.state.num_nodes)
+                    dt = time.perf_counter() - t0
+                    eng.stream.stop()
+                    best = min(best, dt)
+                    if time_left() < 120:
+                        break
+                RESULT[f"file_{kind}_mps"] = round(npts / best / 1e6, 2)
+                log(f"file {kind} e2e ({npts} pts): {best:.2f}s = "
+                    f"{npts/best/1e6:.2f} MP/s")
+        del eng
+        gc.collect()
+
+    # =====================================================================
+    # Phase 2 (headline): device-resident build — batches staged on device,
     # the timer brackets the octree construction dispatches only (the
     # reference's update-kernel points/sec, main_progressive_octree.cpp:1488)
     # =====================================================================
@@ -282,7 +385,7 @@ def main() -> int:
                   candidates_dropped=int(state.num_candidates_dropped))
 
     # =====================================================================
-    # Phase 2 (headline): timed renders.
+    # Phase 3 (headline): timed renders.
     # Headline render: screen-budgeted draw pool (render/drawpool.py — frame
     # cost tracks screen coverage, the TPU-native answer to the reference's
     # atomic-overdraw brute force) + 2-key pixel sort (winner DEPTH exact;
@@ -444,105 +547,8 @@ def main() -> int:
 
     RESULT["visible_points"] = int(fstats.num_visible_points)
     RESULT["visible_voxels"] = int(fstats.num_visible_voxels)
-    del state, pool  # free the device-path state before the engine allocates its own
-    import gc
+    del state, pool  # free the device-path state before the later phases allocate
     gc.collect()
-
-    # =====================================================================
-    # Phase 3: file-based end-to-end: disk -> decode -> H2D -> build
-    # (the reference's headline metric is a drag-drop load, README.md:21)
-    # =====================================================================
-    if FILE_BENCH and phase_fits("file_e2e", 150):
-        import tempfile
-        from simlod_tpu.engine import Engine
-        from simlod_tpu.formats import simlod as simlod_fmt
-        fcfg = EngineConfig(
-            node_capacity=1 << 19,
-            point_capacity=max(FILE_POINTS + (1 << 20), 1 << 24),
-            voxel_capacity=1 << 26, segment_capacity=1 << 21,
-            step_points=STEP_POINTS, spill_capacity=1 << 20,
-            seg_select_cap=2048,
-            max_render_points=4 << 20, max_render_voxels=4 << 20)
-        path = os.path.join(tempfile.gettempdir(), f"bench_{FILE_POINTS}.simlod")
-        if not os.path.exists(path):
-            t_c = time.perf_counter()
-            simlod_fmt.write(path, xyz[:FILE_POINTS], rgba[:FILE_POINTS])
-            log(f"wrote {path} in {time.perf_counter()-t_c:.0f}s")
-        # format files + sizes up front: their scan-shape programs preload
-        # with the simlod ones, BEFORE any build executes
-        do_formats = time_left() > 330
-        n_las = int(os.environ.get("BENCH_LAS_POINTS",
-                                   min(FILE_POINTS, 16_000_000)))
-        n_laz = int(os.environ.get("BENCH_LAZ_POINTS",
-                                   min(FILE_POINTS, 4_000_000)))
-        if do_formats:
-            from simlod_tpu.formats import las as las_fmt
-            from simlod_tpu.formats import laz as laz_fmt
-            las_path = os.path.join(tempfile.gettempdir(), f"bench_{n_las}.las")
-            laz_path = os.path.join(tempfile.gettempdir(), f"bench_{n_laz}.laz")
-            if not os.path.exists(las_path):
-                t_c = time.perf_counter()
-                las_fmt.write(las_path, xyz[:n_las], rgba[:n_las])
-                log(f"wrote {las_path} in {time.perf_counter()-t_c:.0f}s")
-            if not os.path.exists(laz_path):
-                t_c = time.perf_counter()
-                laz_fmt.write(laz_path, xyz[:n_laz], rgba[:n_laz])
-                log(f"wrote {laz_path} in {time.perf_counter()-t_c:.0f}s")
-        eng = Engine(fcfg)
-        # AOT warm-up: compile every load program WITHOUT executing one.
-        # Matches the reference contract (NVRTC compiles all kernels at
-        # startup, so the timed drag-drop contains zero compilation) AND
-        # keeps the tunneled runtime's H2D fast path alive — device_put runs
-        # ~1.1 GB/s until the first build EXECUTES, ~40 MB/s after
-        # (measured r5, scripts/h2d_bench.py + docs/PERFORMANCE.md).
-        eng.open([path])
-        t_c = eng.preload_compile(
-            extra_totals=(n_las, n_laz) if do_formats else ())
-        eng.stream.stop()
-        log(f"AOT preload (no execution) in {t_c:.0f}s")
-        # ONE timed rep: the first build execution flips the tunnel's H2D
-        # fast path off for the life of the process, so rep0 IS the
-        # representative drag-drop number; later in-process reps measure the
-        # collapsed-put regime, not the load path
-        t0 = time.perf_counter()
-        eng.open([path])
-        eng.load_all()
-        _ = int(eng.state.num_nodes)
-        t_file = time.perf_counter() - t0
-        st = eng.stream.stats()
-        eng.stream.stop()
-        file_mps = FILE_POINTS / t_file / 1e6
-        log(f"file e2e ({FILE_POINTS} pts): {t_file:.2f}s = {file_mps:.1f} "
-            f"MP/s (nodes {int(eng.state.num_nodes)}) stream={st}")
-        RESULT["file_e2e_mps"] = round(file_mps, 2)
-        RESULT["file_stream_profile"] = {
-            k: round(v, 3) if isinstance(v, float) else v
-            for k, v in st.items()}
-
-        # --- per-format phases (reference README.md:10: LAS 200-300 /
-        # LAZ ~30 / simlod up to 580 MP/s on a 4090 + 16-core host; this
-        # host has ONE core, so decode-bound formats scale accordingly;
-        # these reps run in the collapsed-put regime — see note above) ---
-        if do_formats and phase_fits("file_formats", 90):
-            for kind, pth, npts in (("las", las_path, n_las),
-                                    ("laz", laz_path, n_laz)):
-                best = float("inf")
-                for rep in range(2):
-                    laz_fmt._cache.clear()   # honest e2e: decode every rep
-                    t0 = time.perf_counter()
-                    eng.open([pth])
-                    eng.load_all()
-                    _ = int(eng.state.num_nodes)
-                    dt = time.perf_counter() - t0
-                    eng.stream.stop()
-                    best = min(best, dt)
-                    if time_left() < 120:
-                        break
-                RESULT[f"file_{kind}_mps"] = round(npts / best / 1e6, 2)
-                log(f"file {kind} e2e ({npts} pts): {best:.2f}s = "
-                    f"{npts/best/1e6:.2f} MP/s")
-        del eng
-        gc.collect()
 
     # =====================================================================
     # Phase 4: out-of-core bricks on the real device (capability the reference
