@@ -252,19 +252,31 @@ class Engine:
             self.orbit.focus_box(np.zeros(3), np.asarray(box_max) - np.asarray(box_min))
             self.camera.world = self.orbit.world()
 
-    def open(self, paths):
-        """Scan files, reset the octree to their union box, start streaming."""
+    def open(self, paths, chunk_steps: int | None = None,
+             pin_total: int | None = None):
+        """Scan files, reset the octree to their union box, start streaming.
+
+        chunk_steps overrides cfg.steps_per_dispatch for THIS stream only
+        (frame-loop pacing) without touching cfg — cfg is a static jit key,
+        so two engines that differ only in pacing still share every compiled
+        program. pin_total sizes the stream shape pins as if the stream held
+        that many points: a small warm-up file opened with the production
+        pin_total compiles the exact program set the production stream uses.
+        """
         self._last_paths = list(paths)   # viewer "Reset + Benchmark" re-open
         if self._auto_cfg:
             from .io.streaming import scan_paths
             total = sum(e.num_points for e in scan_paths(paths))
             self.cfg = EngineConfig.auto(total_points=total,
                                          device=self.device)
-        self.stream = PointStream(paths, self.cfg.step_points, device=self.device,
-                                  chunk_steps=self.cfg.steps_per_dispatch)
+        self.stream = PointStream(
+            paths, self.cfg.step_points, device=self.device,
+            chunk_steps=chunk_steps if chunk_steps is not None
+            else self.cfg.steps_per_dispatch)
         box = self.stream.box_max - self.stream.box_min
         self.reset(np.zeros(3, np.float32), box.astype(np.float32))
-        self._stream_pins = self._make_stream_pins(self.stream.total_points)
+        self._stream_pins = self._make_stream_pins(
+            pin_total if pin_total is not None else self.stream.total_points)
         self._stream_iter = iter(self.stream)
         self._consumed_chunks = 0
         return self.stream
@@ -557,6 +569,27 @@ class Engine:
 
     _capacity_flag: bool = False
 
+    def _marks(self) -> dict:
+        """ALL host-side watermarks in ONE device round trip.
+
+        Every `int(state.x)` readback costs a full tunnel RTT (~23 ms); the
+        simultaneous loop consults a dozen watermarks per frame, which alone
+        cost more than the render. device_get issues the D2H copies for the
+        whole tuple before blocking, so the batch pays ~one RTT. Cached per
+        state identity: any dispatch replaces self.state and invalidates."""
+        if getattr(self, "_marks_for", None) is not self.state:
+            s = self.state
+            v = jax.device_get((
+                s.num_points_processed, s.vox_used, s.vox_compacted,
+                s.pool_used, s.num_nodes, s.num_segments,
+                s.num_candidates_dropped, s.mem_capacity_reached))
+            self._marks_cache = dict(
+                processed=int(v[0]), vox_used=int(v[1]), vox_compacted=int(v[2]),
+                pool_used=int(v[3]), num_nodes=int(v[4]), num_segments=int(v[5]),
+                dropped=int(v[6]), mem_cap=bool(v[7]))
+            self._marks_for = self.state
+        return self._marks_cache
+
     def _maybe_compact(self, force: bool = False, poll: bool = False):
         """Capacity poll + NEAR-CAPACITY voxel compaction.
 
@@ -572,21 +605,23 @@ class Engine:
         self._steps_since_poll = 0
         # capacity poll piggybacks on the sync this readback causes (ADVICE r2):
         # ingest_next/load_all consult the cached flag so the load actually stops
-        self._capacity_flag = bool(self.state.mem_capacity_reached)
+        m = self._marks()
+        self._capacity_flag = m["mem_cap"]
         self._adapt_candidate_windows()
-        used = int(self.state.vox_used)
         threshold = int(self.cfg.voxel_capacity * self.cfg.voxel_compact_watermark)
-        if force or used > threshold:
+        if force or m["vox_used"] > threshold:
             pins = self._pins_active()
             self.state = build.compact_voxels_auto(
                 self.cfg, self.state,
-                min_window=pins["vox_compact_w"] if pins else 0)
-            self._last_compacted = int(self.state.vox_used)
+                min_window=pins["vox_compact_w"] if pins else 0,
+                used=m["vox_used"])
+            m = self._marks()
+            self._last_compacted = m["vox_used"]
             # directory hygiene: keep the live segment count inside the spill
             # selection scan window (build.spill_calc) with headroom
             seg_limit = min(self.cfg.seg_scan_window,
                             self.cfg.segment_capacity) // 2
-            if int(self.state.num_segments) > seg_limit:
+            if m["num_segments"] > seg_limit:
                 self.state = build.compact_segments(self.cfg, self.state)
 
     _cand_bumps: int = 0
@@ -601,8 +636,8 @@ class Engine:
         exceed 1% of the points ingested in the interval, double the expansion
         windows (bounded: two bumps max — each bump re-specializes the build
         programs, which is minutes of compile on a tunneled device)."""
-        dropped = int(self.state.num_candidates_dropped)
-        processed = int(self.state.num_points_processed)
+        m = self._marks()
+        dropped, processed = m["dropped"], m["processed"]
         d_drop = dropped - getattr(self, "_last_dropped", 0)
         d_proc = processed - getattr(self, "_last_processed", 0)
         self._last_dropped, self._last_processed = dropped, processed
@@ -659,11 +694,13 @@ class Engine:
         return pw, vw, nw, sw
 
     def _note_visible(self, fstats):
-        self._last_visible = (int(fstats.num_visible_points),
-                              int(fstats.num_visible_voxels))
-        self._last_counts = (int(self.state.num_nodes),
-                             int(self.state.num_segments))
-        self._last_truncated = bool(fstats.truncated)
+        vp, vv, tr = jax.device_get((fstats.num_visible_points,
+                                     fstats.num_visible_voxels,
+                                     fstats.truncated))
+        self._last_visible = (int(vp), int(vv))
+        m = self._marks()
+        self._last_counts = (m["num_nodes"], m["num_segments"])
+        self._last_truncated = bool(tr)
 
     # --- draw pool (screen-budgeted decimation, render/drawpool.py) ---
     _draw_pool = None
@@ -676,20 +713,18 @@ class Engine:
         a one-time cost amortized over every pooled frame until the next
         ingest (bounded staleness: the rebuild cadence is the render call
         itself on the post-load path)."""
-        key = (int(self.state.num_points_processed), int(self.state.num_nodes),
-               int(self.state.vox_compacted))
+        m = self._marks()
+        key = (m["processed"], m["num_nodes"], m["vox_compacted"])
         if self._draw_pool is not None and self._pool_key == key:
             return
         cap = self.cfg.draw_cap
-        live_segs = int(self.state.num_segments)
-        pool_w = _size_bucket(ragged.window_for(int(self.state.pool_used),
-                                                max(live_segs, 1)))
-        vox_w = min(_size_bucket(max(int(self.state.vox_compacted), 128)),
+        pool_w = _size_bucket(ragged.window_for(m["pool_used"],
+                                                max(m["num_segments"], 1)))
+        vox_w = min(_size_bucket(max(m["vox_compacted"], 128)),
                     (self.state.vox_k0.shape[0] // 128) * 128)
-        node_w = directory_window(int(self.state.num_nodes),
-                                  self.cfg.node_capacity)
-        pc_need, vc_need = _pool_need(self.state, cap)
-        live_nodes = int(self.state.num_nodes)
+        node_w = directory_window(m["num_nodes"], self.cfg.node_capacity)
+        pc_need, vc_need = jax.device_get(_pool_need(self.state, cap))
+        live_nodes = m["num_nodes"]
         pc = _size_bucket(int(pc_need) + 256 * live_nodes + 128)
         vc = _size_bucket(int(vc_need) + 256 * live_nodes + 128)
         pins = self._pins_active()
@@ -704,8 +739,8 @@ class Engine:
         self._pool_key = key
 
     def _pooled_windows(self, u):
-        pp, pv, ep, ev = (int(v) for v in probe_pooled_counts(
-            self.cfg, self.state, self._draw_pool, u))
+        pp, pv, ep, ev = (int(v) for v in jax.device_get(probe_pooled_counts(
+            self.cfg, self.state, self._draw_pool, u)))
         prev = getattr(self, "_last_pool_windows", (1 << 18,) * 4)
         ws = tuple(sample_window(n, p, cap) for n, p, cap in zip(
             (pp, pv, ep, ev), prev,
@@ -735,20 +770,31 @@ class Engine:
 
     def _ensure_stream_pool(self) -> bool:
         """Draw-pool rebuild policy for the SIMULTANEOUS loop: rebuild when
-        missing or when >25% of the processed points postdate the pool (nodes
+        missing, or when >25% of the processed points postdate the pool (nodes
         the pool misses render exactly — staleness costs throughput, never
-        correctness). Returns True when a rebuild happened. The reference has
-        no analogue (it re-walks every chunk list per frame); this amortizes
-        the one sort+gather pool build over the frames between rebuilds."""
-        pts = int(self.state.num_points_processed)
+        correctness) AND the rebuild cost amortizes — at most 25% of
+        wall-clock goes to rebuilds (a rebuild is a forced compaction + a
+        full-pool sort, ~0.5-1 s at 16M points on a v5e; unbounded cadence
+        made the rebuild THE streaming frame time, r5: 1305 ms/frame).
+        Returns True when a rebuild happened. The reference has no analogue
+        (it re-walks every chunk list per frame)."""
+        m = self._marks()
+        pts = m["processed"]
         built = getattr(self, "_pool_built_pts", -1)
-        if (self._draw_pool is not None and built >= 0
-                and pts - built <= max(built // 4, self.cfg.step_points)):
-            return False
+        if self._draw_pool is not None and built >= 0:
+            if pts - built <= max(built // 4, self.cfg.step_points):
+                return False
+            cost = getattr(self, "_pool_rebuild_cost", 0.0)
+            if time.perf_counter() - getattr(self, "_pool_rebuild_t", 0.0) \
+                    < 4.0 * cost:
+                return False
+        t0 = time.perf_counter()
         # the pool reads the exact voxel CSR: fold in tail appends first
-        self._maybe_compact(
-            force=int(self.state.vox_used) > int(self.state.vox_compacted))
+        self._maybe_compact(force=m["vox_used"] > m["vox_compacted"])
         self._ensure_draw_pool()
+        jax.block_until_ready(self._draw_pool.pt_off)
+        self._pool_rebuild_cost = time.perf_counter() - t0
+        self._pool_rebuild_t = time.perf_counter()
         self._pool_built_pts = pts
         return True
 
@@ -756,8 +802,9 @@ class Engine:
         """Render-only frame -> (image u32 [H,W], Stats)."""
         # an exact CSR needs every tail append folded in (vox_voff/vcnt are only
         # correct for rows [0, vox_compacted))
-        self._maybe_compact(
-            force=int(self.state.vox_used) > int(self.state.vox_compacted))
+        m = self._marks()
+        self._maybe_compact(force=m["vox_used"] > m["vox_compacted"])
+        m = self._marks()
         u = self.uniforms(width, height)
         t0 = time.perf_counter()
         if self.settings.point_budget > 0:
@@ -765,10 +812,8 @@ class Engine:
             self._ensure_draw_pool()
             ppw, pvw, epw, evw = self._pooled_windows_cached(
                 u, force=self._pool_key != key_before)
-            nw = directory_window(int(self.state.num_nodes),
-                                  self.cfg.node_capacity)
-            sw = directory_window(int(self.state.num_segments),
-                                  self.cfg.segment_capacity)
+            nw = directory_window(m["num_nodes"], self.cfg.node_capacity)
+            sw = directory_window(m["num_segments"], self.cfg.segment_capacity)
             pins = self._pins_active()
             if pins:
                 nw = max(nw, pins["node_w"])
@@ -796,7 +841,7 @@ class Engine:
         """
         items = []
         if self.stream is not None and not self.last_batch_finished \
-                and not bool(self.state.mem_capacity_reached):
+                and not self._marks()["mem_cap"]:
             want = max(1, int(getattr(self, "_batches_per_frame", 1)))
             for _ in range(want):
                 item = next(self._stream_iter, None)
@@ -818,11 +863,10 @@ class Engine:
         pooled = self.settings.point_budget > 0
         if pooled:
             rebuilt = self._ensure_stream_pool()
+            m = self._marks()
             ppw, pvw, epw, evw = self._pooled_windows_cached(u, force=rebuilt)
-            nw = directory_window(int(self.state.num_nodes),
-                                  self.cfg.node_capacity)
-            sw = directory_window(int(self.state.num_segments),
-                                  self.cfg.segment_capacity)
+            nw = directory_window(m["num_nodes"], self.cfg.node_capacity)
+            sw = directory_window(m["num_segments"], self.cfg.segment_capacity)
             pins = self._pins_active()
             if pins:
                 nw = max(nw, pins["node_w"])

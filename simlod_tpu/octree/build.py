@@ -1276,12 +1276,16 @@ def _compact_voxels_window(cfg: EngineConfig, state: OctreeState, w: int):
 
 
 def compact_voxels_auto(cfg: EngineConfig, state: OctreeState,
-                        min_window: int = 0) -> OctreeState:
+                        min_window: int = 0,
+                        used: int | None = None) -> OctreeState:
     """Host-driven compaction sized to the live store (power-of-two window buckets,
     so at most log2 variants ever compile). min_window floors the bucket so a
     caller that compacts repeatedly during a stream (the simultaneous loop's
-    draw-pool cadence) reuses ONE program instead of walking the pow2 ladder."""
-    used = int(state.vox_used)
+    draw-pool cadence) reuses ONE program instead of walking the pow2 ladder.
+    used: the live watermark if the caller already read it back (saves the
+    tunnel round trip of int(state.vox_used))."""
+    if used is None:
+        used = int(state.vox_used)
     v_cap = state.vox_node.shape[0]
     w = 1 << max(10, (max(used, 1) - 1).bit_length())
     w = min(max(w, min_window), v_cap)

@@ -77,10 +77,15 @@ class OutOfCoreEngine:
     LOD renderable, and composites frames across bricks."""
 
     def __init__(self, cfg: EngineConfig | None = None,
-                 settings: Settings | None = None):
-        self.cfg = cfg or EngineConfig()
+                 settings: Settings | None = None,
+                 engine: Engine | None = None):
+        """engine: adopt an existing device engine (its cfg must match) so the
+        per-brick builds reuse every program — including AOT-preloaded
+        executables (Engine.preload_compile) — already loaded on the device."""
+        self.cfg = engine.cfg if engine is not None else (cfg or EngineConfig())
         self.settings = settings or Settings()
-        self.engine = Engine(self.cfg, self.settings)
+        self.engine = engine if engine is not None \
+            else Engine(self.cfg, self.settings)
         self.bricks: list[Brick] = []
         self._resident: dict[int, object] = {}   # brick idx -> device render state
         self._paged_in: int | None = None
@@ -116,6 +121,7 @@ class OutOfCoreEngine:
                              box_override=(self.global_min, self.global_max))
         eng.stream = stream
         eng._stream_iter = iter(stream)
+        eng._consumed_chunks = 0   # a fresh stream: load_all may take the bulk path
         ext = (self.global_max - self.global_min).astype(np.float32)
         eng.reset(np.zeros(3, np.float32), ext)
         eng.load_all()

@@ -130,6 +130,59 @@ class ShardedEngine:
             self.ingest_chunk(item)
         return True
 
+    def stage(self):
+        """Drain the stream onto the device in its sharded layout (fencing
+        each item bounds in-flight H2D bytes) and return the padded [KB, B]
+        chunk planes, ready for one build dispatch."""
+        from ..engine import _scan_bucket
+        items = []
+        for it in self._stream_iter:
+            jax.block_until_ready(it[:4])
+            items.append(it)
+        self.last_batch_finished = True
+        if not items:
+            return None
+        planes = []
+        for it in items:
+            if isinstance(it[4], (int, np.integer)):  # chunk_steps==1
+                planes.append(tuple(a[None] for a in it[:4])
+                              + (np.asarray([it[4]], np.int32),))
+            else:
+                planes.append(it[:4] + (np.asarray(it[4], np.int32),))
+        bx, by, bz, bc = (jnp.concatenate([p[i] for p in planes])
+                          for i in range(4))
+        counts = jnp.asarray(
+            np.concatenate([p[4] for p in planes]), jnp.int32)
+        K = int(bx.shape[0])
+        KB = _scan_bucket(K)
+        if KB != K:
+            zplane = jax.device_put(
+                np.zeros((KB - K,) + bx.shape[1:], np.float32),
+                self.plane_sharding)
+            zc = jax.device_put(
+                np.zeros((KB - K,) + bx.shape[1:], np.uint32),
+                self.plane_sharding)
+            bx = jnp.concatenate([bx, zplane])
+            by = jnp.concatenate([by, zplane])
+            bz = jnp.concatenate([bz, zplane])
+            bc = jnp.concatenate([bc, zc])
+            counts = jnp.concatenate(
+                [counts, jnp.zeros((KB - K,), jnp.int32)])
+        jax.block_until_ready((bx, by, bz, bc))
+        return bx, by, bz, bc, counts
+
+    def build_staged(self, staged) -> None:
+        """One chunked build dispatch over pre-staged planes + end-of-load
+        split convergence (the sharded mirror of Engine.load_all's timed
+        region: construction only, transfers already on device)."""
+        if staged is not None:
+            bx, by, bz, bc, counts = staged
+            self.state = self.chunk(self.state, bx, by, bz, bc, counts)
+            self._steps_since_compact += int(bx.shape[0])
+        self.state = shard.sharded_finish_splits(self.cfg, self.mesh,
+                                                 self.state)
+        jax.block_until_ready(self.state.num_nodes)
+
     def load_all(self, bulk: bool = True):
         """Consume the stream; bulk (default) stages the WHOLE decoded stream
         on device first (fencing each item bounds in-flight H2D bytes), then
@@ -138,49 +191,14 @@ class ShardedEngine:
         with transfers in flight measured ~20x slower on the tunneled
         runtime; the mesh=1 bench read 0.46 MP/s where the single-chip bulk
         path reads >10x that)."""
-        from ..engine import _scan_bucket
         if not bulk:
             while self.ingest_next():
                 pass
-        else:
-            items = []
-            for it in self._stream_iter:
-                jax.block_until_ready(it[:4])
-                items.append(it)
-            self.last_batch_finished = True
-            if items:
-                planes = []
-                for it in items:
-                    if isinstance(it[4], (int, np.integer)):  # chunk_steps==1
-                        planes.append(tuple(a[None] for a in it[:4])
-                                      + (np.asarray([it[4]], np.int32),))
-                    else:
-                        planes.append(it[:4] + (np.asarray(it[4], np.int32),))
-                bx, by, bz, bc = (jnp.concatenate([p[i] for p in planes])
-                                  for i in range(4))
-                counts = jnp.asarray(
-                    np.concatenate([p[4] for p in planes]), jnp.int32)
-                K = int(bx.shape[0])
-                KB = _scan_bucket(K)
-                if KB != K:
-                    zplane = jax.device_put(
-                        np.zeros((KB - K,) + bx.shape[1:], np.float32),
-                        self.plane_sharding)
-                    zc = jax.device_put(
-                        np.zeros((KB - K,) + bx.shape[1:], np.uint32),
-                        self.plane_sharding)
-                    bx = jnp.concatenate([bx, zplane])
-                    by = jnp.concatenate([by, zplane])
-                    bz = jnp.concatenate([bz, zplane])
-                    bc = jnp.concatenate([bc, zc])
-                    counts = jnp.concatenate(
-                        [counts, jnp.zeros((KB - K,), jnp.int32)])
-                self.state = self.chunk(self.state, bx, by, bz, bc, counts)
-                self._steps_since_compact += KB
-        # end-of-load split convergence, same contract as Engine.load_all
-        self.state = shard.sharded_finish_splits(self.cfg, self.mesh,
-                                                 self.state)
-        jax.block_until_ready(self.state.num_nodes)
+            self.state = shard.sharded_finish_splits(self.cfg, self.mesh,
+                                                     self.state)
+            jax.block_until_ready(self.state.num_nodes)
+            return
+        self.build_staged(self.stage())
 
     # --- rendering ---
     def render(self):

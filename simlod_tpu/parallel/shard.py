@@ -78,6 +78,14 @@ def init_sharded_state(cfg: EngineConfig, mesh: Mesh, box_min, box_max) -> Octre
             jnp.broadcast_to(x[None], (n,) + x.shape), sharding), base)
 
 
+def _slot_rows(Bl: int, n: int, slot_factor: int) -> int:
+    """Rows per exchange slot: slot_factor x the even share (skew headroom),
+    clamped to Bl — a device can never send more rows to one destination than
+    it holds, so slots beyond Bl are pure padding (at n=1 the unclamped slot
+    made the exchange compact a 4x-batch window for a no-op all_to_all)."""
+    return max(128, min(Bl, (slot_factor * Bl) // max(n, 1)))
+
+
 def _brick_owner(qx, qy, qz, level: int, n_devices: int):
     """Device owning each point: Morton brick id scaled onto the device range."""
     bits = jnp.zeros_like(qx)
@@ -128,6 +136,14 @@ def _exchange(x_cols, owner, count_l, n: int, S: int):
     return comp, my_count, dropped
 
 
+_STEP_CACHE: dict = {}
+_CHUNK_CACHE: dict = {}
+
+
+def _cache_key(cfg, mesh, *extra):
+    return (cfg, tuple(d.id for d in mesh.devices.flat), *extra)
+
+
 def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int,
                        slot_factor: int = 4):
     """Returns a jitted sharded simultaneous step:
@@ -141,13 +157,16 @@ def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int,
     full-store sort would dominate). The returned function exposes .recv_window
     (per-chip post-exchange work width) for scaling assertions.
     """
+    key = _cache_key(cfg, mesh, width, height, slot_factor)
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
     n = mesh.devices.size
     level = brick_level_for(n)
 
     def local_step(state, x, y, z, rgba, count, uniforms, do_render):
         state = jax.tree.map(lambda a: jnp.squeeze(a, 0), state)
         Bl = x.shape[0]
-        S = max(128, (slot_factor * Bl) // max(n, 1))
+        S = _slot_rows(Bl, n, slot_factor)
         dev = jax.lax.axis_index(AXIS).astype(jnp.int32)
 
         # local valid prefix of the shard (the global batch is a valid prefix)
@@ -218,9 +237,10 @@ def build_sharded_step(cfg: EngineConfig, mesh: Mesh, width: int, height: int,
         @staticmethod
         def recv_window(batch_rows: int) -> int:
             Bl = batch_rows // n
-            return n * max(128, (slot_factor * Bl) // max(n, 1))
+            return n * _slot_rows(Bl, n, slot_factor)
 
-    return _Step()
+    _STEP_CACHE[key] = _Step()
+    return _STEP_CACHE[key]
 
 
 def build_sharded_chunk(cfg: EngineConfig, mesh: Mesh, slot_factor: int = 4):
@@ -236,6 +256,9 @@ def build_sharded_chunk(cfg: EngineConfig, mesh: Mesh, slot_factor: int = 4):
     + per-step uniforms rebuild as fatal on the tunneled runtime (VERDICT r3
     weak #6); the sharded load path gets the same dispatch shape here.
     """
+    key = _cache_key(cfg, mesh, slot_factor)
+    if key in _CHUNK_CACHE:
+        return _CHUNK_CACHE[key]
     n = mesh.devices.size
     level = brick_level_for(n)
     wm = jnp.int32(int(cfg.voxel_capacity * cfg.voxel_compact_watermark))
@@ -244,7 +267,7 @@ def build_sharded_chunk(cfg: EngineConfig, mesh: Mesh, slot_factor: int = 4):
         state = jax.tree.map(lambda a: jnp.squeeze(a, 0), state)
         dev = jax.lax.axis_index(AXIS).astype(jnp.int32)
         Bl = bx.shape[1]
-        S = max(128, (slot_factor * Bl) // max(n, 1))
+        S = _slot_rows(Bl, n, slot_factor)
 
         def body(st, inp):
             x, y, z, rgba, count = inp
@@ -273,7 +296,8 @@ def build_sharded_chunk(cfg: EngineConfig, mesh: Mesh, slot_factor: int = 4):
                       P(None, AXIS), P()),
             out_specs=P(AXIS))(state, bx, by, bz, brgba, counts)
 
-    return jax.jit(chunk, donate_argnums=0)
+    _CHUNK_CACHE[key] = jax.jit(chunk, donate_argnums=0)
+    return _CHUNK_CACHE[key]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 3), donate_argnums=2)

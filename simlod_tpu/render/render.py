@@ -306,12 +306,16 @@ def probe_pooled_counts(cfg: EngineConfig, state: OctreeState, pool,
     n = pool.pt_cnt.shape[0]
     tp = drawpool_mod._pool_take(m_pp[:n], pool.pt_cnt, budgets[:n])
     tv = drawpool_mod._pool_take(m_pv[:n], pool.vx_cnt, budgets[:n])
-    # + 2*(128-1) per drawn node: the ragged plan's aligned-row phase padding
-    # (ops/ragged.py window_for) — the pooled window must cover it or frames
-    # truncate at exactly the probe-sized window
+    # pooled windows: the EXACT aligned-row demand of the budgeted prefix
+    # gather — the plan fetches ceil((off%128 + take)/128) 128-lane rows per
+    # node (ops/ragged.py plan rcnt), so summing that is precise, where the
+    # former worst-case 2*128/node term inflated the window (and with it the
+    # pixel sort + tile kernel) ~30% at the bench view
+    rp = jnp.where(tp > 0, (pool.pt_off % 128 + tp + 127) // 128, 0)
+    rv = jnp.where(tv > 0, (pool.vx_off % 128 + tv + 127) // 128, 0)
+    pp = 128 * jnp.sum(rp)
+    pv = 128 * jnp.sum(rv)
     pad = 2 * 128
-    pp = jnp.sum(tp) + pad * jnp.sum((tp > 0).astype(jnp.int32))
-    pv = jnp.sum(tv) + pad * jnp.sum((tv > 0).astype(jnp.int32))
     # exact-routed nodes pay the same per-segment ragged padding
     # (gather_point_samples plans per SEGMENT, not per node, but the node count
     # lower-bounds it; the 1.25x sample_window headroom covers multi-segment
