@@ -317,7 +317,7 @@ class Engine:
                 sample_window(1_600_000, 0, cfg.max_render_voxels),
                 sample_window(1, 0, cfg.max_render_points),
                 sample_window(1, 0, cfg.max_render_voxels)),
-            vox_compact_w=min(_pow2(vox_est), vox_len),
+            vox_compact_w=min(_size_bucket(vox_est), vox_len),
         )
 
     def _pins_active(self) -> dict | None:

@@ -1278,16 +1278,20 @@ def _compact_voxels_window(cfg: EngineConfig, state: OctreeState, w: int):
 def compact_voxels_auto(cfg: EngineConfig, state: OctreeState,
                         min_window: int = 0,
                         used: int | None = None) -> OctreeState:
-    """Host-driven compaction sized to the live store (power-of-two window buckets,
-    so at most log2 variants ever compile). min_window floors the bucket so a
+    """Host-driven compaction sized to the live store (1-8-pow2 window buckets:
+    3-bit mantissa x pow2, <= 12.5% pad rows — this program is the single most
+    expensive of a bulk load, and a plain pow2 bucket sorted a 67M-row window
+    for the 64M bench's 35M live voxels). min_window floors the bucket so a
     caller that compacts repeatedly during a stream (the simultaneous loop's
-    draw-pool cadence) reuses ONE program instead of walking the pow2 ladder.
+    draw-pool cadence) reuses ONE program instead of walking the bucket ladder.
     used: the live watermark if the caller already read it back (saves the
     tunnel round trip of int(state.vox_used))."""
     if used is None:
         used = int(state.vox_used)
     v_cap = state.vox_node.shape[0]
-    w = 1 << max(10, (max(used, 1) - 1).bit_length())
+    n = max(used, 1024)
+    b = max((n - 1).bit_length() - 3, 7)
+    w = ((n + (1 << b) - 1) >> b) << b
     w = min(max(w, min_window), v_cap)
     return _compact_voxels_window(cfg, state, w)
 
