@@ -10,11 +10,20 @@ parameters (50k leaf cap, 128^3 voxel grids).
 Survivability contract (VERDICT r4 item 1 — round 4 recorded rc=124 and NO numbers):
   - a global wall-clock deadline (BENCH_DEADLINE, default 1500 s) is checked before
     every phase; phases that don't fit are skipped and listed in "skipped";
-  - headline phases (file drag-drop e2e, device build, renders) run FIRST —
-    file e2e before anything executes a build, because the tunneled runtime's
-    H2D fast path dies at the first build execution (docs/PERFORMANCE.md r5);
+  - headline phases (device build, renders, file drag-drop e2e) run FIRST, the
+    deep/4K phase before the auxiliary ones;
   - SIGTERM/SIGINT print the partial result JSON before exiting, so even a driver
     kill records every number measured up to that point.
+
+Phase order rationale (measured r5, docs/PERFORMANCE.md): the tunneled runtime's
+H2D fast path (~1 GB/s) dies at the first build execution (~45 MB/s after), which
+argues for file-first — but AOT lower().compile() costs ~3x a jit warm pass AND
+its first execution pays a further one-time ~10x penalty (188 s compile + 151 s
+first exec vs 65 s jit warm at 16M), so a compile-free file-first load is
+unreachable. Device build therefore runs first (its group-0 staging rides the
+fast path; the jit warm pass absorbs every compile), and the file e2e measures
+the warm drag-drop in the collapsed-put regime — the reference contract
+(kernels NVRTC-compiled at startup, README.md:21 drag-drop has zero compiles).
 """
 from __future__ import annotations
 
@@ -198,14 +207,6 @@ def main() -> int:
         cc[: hi - lo] = rgba[lo:hi]
         batches.append((cols[0], cols[1], cols[2], cc, hi - lo))
 
-    # =====================================================================
-    # Phase 1 (headline): file-based end-to-end: disk -> decode -> H2D ->
-    # build (the reference's headline metric is a drag-drop load,
-    # README.md:21). Runs FIRST in the process: the tunneled runtime's
-    # H2D fast path (~1.1 GB/s) survives AOT compilation but dies the
-    # moment ANY build program executes — so this phase must see the
-    # process before the device-build/render phases touch it.
-    # =====================================================================
     # ONE config across the file / device-build / render / streamframe / ooc
     # phases: cfg is a static jit key, so a single shared object means every
     # phase reuses the same compiled programs — the bench's dominant cost on
@@ -213,107 +214,22 @@ def main() -> int:
     # measurements (r5: a warm pass ran 299 s with ZERO compile-cache misses).
     eng = None          # the file phase's engine, kept for later phases
     n_ob = int(os.environ.get("BENCH_OOC_POINTS", 4_000_000))  # ooc brick size
-    if FILE_BENCH and phase_fits("file_e2e", 150):
-        import tempfile
-        from simlod_tpu.engine import Engine
-        from simlod_tpu.formats import simlod as simlod_fmt
-        path = os.path.join(tempfile.gettempdir(), f"bench_{FILE_POINTS}.simlod")
-        if not os.path.exists(path):
-            t_c = time.perf_counter()
-            simlod_fmt.write(path, xyz[:FILE_POINTS], rgba[:FILE_POINTS])
-            log(f"wrote {path} in {time.perf_counter()-t_c:.0f}s")
-        # format files + sizes up front: their scan-shape programs preload
-        # with the simlod ones, BEFORE any build executes
-        do_formats = time_left() > 330
-        n_las = int(os.environ.get("BENCH_LAS_POINTS",
-                                   min(FILE_POINTS, 16_000_000)))
-        n_laz = int(os.environ.get("BENCH_LAZ_POINTS",
-                                   min(FILE_POINTS, 4_000_000)))
-        if do_formats:
-            from simlod_tpu.formats import las as las_fmt
-            from simlod_tpu.formats import laz as laz_fmt
-            las_path = os.path.join(tempfile.gettempdir(), f"bench_{n_las}.las")
-            laz_path = os.path.join(tempfile.gettempdir(), f"bench_{n_laz}.laz")
-            if not os.path.exists(las_path):
-                t_c = time.perf_counter()
-                las_fmt.write(las_path, xyz[:n_las], rgba[:n_las])
-                log(f"wrote {las_path} in {time.perf_counter()-t_c:.0f}s")
-            if not os.path.exists(laz_path):
-                t_c = time.perf_counter()
-                laz_fmt.write(laz_path, xyz[:n_laz], rgba[:n_laz])
-                log(f"wrote {laz_path} in {time.perf_counter()-t_c:.0f}s")
-        eng = Engine(cfg)
-        # AOT warm-up: compile every load program WITHOUT executing one.
-        # Matches the reference contract (NVRTC compiles all kernels at
-        # startup, so the timed drag-drop contains zero compilation) AND
-        # keeps the tunneled runtime's H2D fast path alive — device_put runs
-        # ~1.1 GB/s until the first build EXECUTES, ~40 MB/s after
-        # (measured r5, scripts/h2d_bench.py + docs/PERFORMANCE.md).
-        # extra_totals: the las/laz sizes AND the ooc brick size, so the
-        # format reps and the ooc phase reuse these executables too.
-        eng.open([path])
-        t_c = eng.preload_compile(
-            extra_totals=((n_las, n_laz) if do_formats else ()) + (n_ob,))
-        eng.stream.stop()
-        log(f"AOT preload (no execution) in {t_c:.0f}s")
-        # ONE timed rep: the first build execution flips the tunnel's H2D
-        # fast path off for the life of the process, so rep0 IS the
-        # representative drag-drop number; later in-process reps measure the
-        # collapsed-put regime, not the load path
-        t0 = time.perf_counter()
-        eng.open([path])
-        eng.load_all()
-        _ = int(eng.state.num_nodes)
-        t_file = time.perf_counter() - t0
-        st = eng.stream.stats()
-        eng.stream.stop()
-        file_mps = FILE_POINTS / t_file / 1e6
-        log(f"file e2e ({FILE_POINTS} pts): {t_file:.2f}s = {file_mps:.1f} "
-            f"MP/s (nodes {int(eng.state.num_nodes)}) stream={st}")
-        RESULT["file_e2e_mps"] = round(file_mps, 2)
-        RESULT["file_stream_profile"] = {
-            k: round(v, 3) if isinstance(v, float) else v
-            for k, v in st.items()}
-
-        # --- per-format phases (reference README.md:10: LAS 200-300 /
-        # LAZ ~30 / simlod up to 580 MP/s on a 4090 + 16-core host; this
-        # host has ONE core, so decode-bound formats scale accordingly;
-        # these reps run in the collapsed-put regime — see note above) ---
-        if do_formats and phase_fits("file_formats", 90):
-            for kind, pth, npts in (("las", las_path, n_las),
-                                    ("laz", laz_path, n_laz)):
-                best = float("inf")
-                for rep in range(2):
-                    laz_fmt._cache.clear()   # honest e2e: decode every rep
-                    t0 = time.perf_counter()
-                    eng.open([pth])
-                    eng.load_all()
-                    _ = int(eng.state.num_nodes)
-                    dt = time.perf_counter() - t0
-                    eng.stream.stop()
-                    best = min(best, dt)
-                    if time_left() < 120:
-                        break
-                RESULT[f"file_{kind}_mps"] = round(npts / best / 1e6, 2)
-                log(f"file {kind} e2e ({npts} pts): {best:.2f}s = "
-                    f"{npts/best/1e6:.2f} MP/s")
-        # keep the engine (its AOT executables drive the later phases) but
-        # drop its tree: the device-build phase builds its own state
-        eng.state = None
-        gc.collect()
 
     # =====================================================================
-    # Phase 2 (headline): device-resident build — batches staged on device,
+    # Phase 1 (headline): device-resident build — batches staged on device,
     # the timer brackets the octree construction dispatches only (the
-    # reference's update-kernel points/sec, main_progressive_octree.cpp:1488)
+    # reference's update-kernel points/sec, main_progressive_octree.cpp:1488).
+    # Runs FIRST: group-0 staging rides the tunnel's H2D fast path (which the
+    # warm pass's first build execution then permanently collapses), and the
+    # warm pass absorbs every compile before anything is timed.
     # =====================================================================
     GROUP = int(os.environ.get(
         "BENCH_GROUP", 16 if N_POINTS > 96_000_000 else 0)) or len(batches)
     CHUNKED = GROUP < len(batches)
     # group length snapped to the engine's scan bucket so the single-group
-    # case dispatches the SAME build_many program Engine.load_all uses — which
-    # the file phase AOT-preloaded and already executed (zero-count pad steps,
-    # exactly like the bulk load's)
+    # case dispatches the SAME build_many program Engine.load_all later uses
+    # (zero-count pad steps, exactly like the bulk load's) — the file phase
+    # then runs compile-free off the jit cache this phase warms
     from simlod_tpu.engine import _scan_bucket
     GROUP_PAD = _scan_bucket(GROUP)
     groups = []
@@ -322,9 +238,6 @@ def main() -> int:
         while len(gb) < GROUP_PAD:  # pad the group with empty batches
             gb = gb + [(gb[0][0], gb[0][1], gb[0][2], gb[0][3], 0)]
         groups.append(gb)
-    aot = {}
-    if eng is not None and getattr(eng, "_aot_cfg", None) is cfg:
-        aot = eng._aot
 
     # piece-wise staging: <= 16 MB per device_put (the tunnel's fast-path
     # unit; bigger transfers collapse ~50x — simlod_tpu/io/transfer.py)
@@ -339,16 +252,12 @@ def main() -> int:
 
     staged0 = put_group(groups[0]) if not CHUNKED else None
 
-    ex_bm = aot.get(("build_many", GROUP_PAD))
-    ex_of, ex_sf = aot.get("overfull"), aot.get("split_finish")
-
     def run_build(state=None):
         if state is None:
             state = init_state(cfg, np.zeros(3, np.float32), box_max)
         staged = staged0 if staged0 is not None else put_group(groups[0])
         for gi in range(len(groups)):
-            state = ex_bm(state, *staged) if ex_bm is not None \
-                else build.build_many(cfg, state, *staged)
+            state = build.build_many(cfg, state, *staged)
             if gi + 1 < len(groups):
                 # fence: an H2D issued against an in-flight donated dispatch
                 # makes the runtime copy the whole donated state (~GBs; the
@@ -362,12 +271,10 @@ def main() -> int:
         # timed build must produce a tree satisfying the <=50k leaf invariant
         # (round 3 benched 16 unconverged leaves, VERDICT r3 weak #8)
         for _ in range(32):
-            ids, n_over = ex_of(state) if ex_of is not None \
-                else build.overfull_leaf_ids(cfg, state)
+            ids, n_over = build.overfull_leaf_ids(cfg, state)
             if int(n_over) == 0:
                 break
-            state = ex_sf(state, ids) if ex_sf is not None \
-                else build.split_finish(cfg, state, ids)
+            state = build.split_finish(cfg, state, ids)
         # final CSR compaction with a data-sized window (the live watermark is
         # known host-side before compacting; the pow2 ladder would sort a 64M
         # window for ~36M live rows). The warm pass compiles this window; the
@@ -577,6 +484,130 @@ def main() -> int:
     gc.collect()
 
     # =====================================================================
+    # Phase 3b (headline): file-based end-to-end: disk -> decode -> H2D ->
+    # build (the reference's headline metric is a drag-drop load,
+    # README.md:21). One untimed warm rep compiles the load-path programs the
+    # device phase didn't cover (bulk assemble, stream staging); the timed rep
+    # is the warm drag-drop — the reference contract (NVRTC compiles all
+    # kernels at startup, so its timed drag-drop contains zero compilation).
+    # Runs in the collapsed-put regime (~45 MB/s H2D): the device phase's
+    # first build execution turned the tunnel's fast path off for the life of
+    # the process, and a compile-free load in the fast-put regime is
+    # unreachable (see module docstring).
+    # =====================================================================
+    if FILE_BENCH and phase_fits("file_e2e", 150):
+        import tempfile
+        from simlod_tpu.engine import Engine
+        from simlod_tpu.formats import simlod as simlod_fmt
+        path = os.path.join(tempfile.gettempdir(), f"bench_{FILE_POINTS}.simlod")
+        if not os.path.exists(path):
+            t_c = time.perf_counter()
+            simlod_fmt.write(path, xyz[:FILE_POINTS], rgba[:FILE_POINTS])
+            log(f"wrote {path} in {time.perf_counter()-t_c:.0f}s")
+        eng = Engine(cfg)
+        t_file = float("inf")
+        for rep in ("warm", "timed"):
+            t0 = time.perf_counter()
+            eng.open([path])
+            eng.load_all()
+            _ = int(eng.state.num_nodes)
+            dt = time.perf_counter() - t0
+            st = eng.stream.stats()
+            eng.stream.stop()
+            log(f"file e2e {rep} ({FILE_POINTS} pts): {dt:.2f}s = "
+                f"{FILE_POINTS/dt/1e6:.1f} MP/s "
+                f"(nodes {int(eng.state.num_nodes)}) stream={st}")
+            if rep == "timed":
+                t_file = dt
+                RESULT["file_e2e_mps"] = round(FILE_POINTS / dt / 1e6, 2)
+                RESULT["file_stream_profile"] = {
+                    k: round(v, 3) if isinstance(v, float) else v
+                    for k, v in st.items()}
+            elif time_left() < 60:   # warm rep ate the budget: record it
+                RESULT["file_e2e_mps"] = round(FILE_POINTS / dt / 1e6, 2)
+                RESULT["file_e2e_warm_only"] = True
+                break
+
+        # --- per-format phases (reference README.md:10: LAS 200-300 /
+        # LAZ ~30 / simlod up to 580 MP/s on a 4090 + 16-core host; this
+        # host has ONE core, so decode-bound formats scale accordingly;
+        # rep0 pays the format's scan-bucket compiles, rep1 is the number) ---
+        if phase_fits("file_formats", 180):
+            from simlod_tpu.formats import las as las_fmt
+            from simlod_tpu.formats import laz as laz_fmt
+            n_las = int(os.environ.get("BENCH_LAS_POINTS",
+                                       min(FILE_POINTS, 16_000_000)))
+            n_laz = int(os.environ.get("BENCH_LAZ_POINTS",
+                                       min(FILE_POINTS, 4_000_000)))
+            las_path = os.path.join(tempfile.gettempdir(), f"bench_{n_las}.las")
+            laz_path = os.path.join(tempfile.gettempdir(), f"bench_{n_laz}.laz")
+            if not os.path.exists(las_path):
+                t_c = time.perf_counter()
+                las_fmt.write(las_path, xyz[:n_las], rgba[:n_las])
+                log(f"wrote {las_path} in {time.perf_counter()-t_c:.0f}s")
+            if not os.path.exists(laz_path):
+                t_c = time.perf_counter()
+                laz_fmt.write(laz_path, xyz[:n_laz], rgba[:n_laz])
+                log(f"wrote {laz_path} in {time.perf_counter()-t_c:.0f}s")
+            for kind, pth, npts in (("las", las_path, n_las),
+                                    ("laz", laz_path, n_laz)):
+                best = float("inf")
+                for rep in range(2):
+                    laz_fmt._cache.clear()   # honest e2e: decode every rep
+                    t0 = time.perf_counter()
+                    eng.open([pth])
+                    eng.load_all()
+                    _ = int(eng.state.num_nodes)
+                    dt = time.perf_counter() - t0
+                    eng.stream.stop()
+                    best = min(best, dt)
+                    if time_left() < 120:
+                        break
+                RESULT[f"file_{kind}_mps"] = round(npts / best / 1e6, 2)
+                log(f"file {kind} e2e ({npts} pts): {best:.2f}s = "
+                    f"{npts/best/1e6:.2f} MP/s")
+        # keep the engine (the later phases reuse its warm programs) but
+        # drop its tree
+        eng.state = None
+        gc.collect()
+
+    # =====================================================================
+    # Phase 3c: deep-scale phase (BASELINE config 4 shape): a 256M-point build
+    # + 4K render in a CHILD process (fresh HBM, no fragmentation from the
+    # phases above). Placed before the auxiliary phases: the 4K render of
+    # config 4 had never been recorded through round 4 (VERDICT r4 item 5).
+    # =====================================================================
+    if os.environ.get("BENCH_DEEP", "1") == "1" and N_POINTS < 192_000_000 \
+            and phase_fits("deep", float(os.environ.get(
+                "BENCH_DEEP_NEED", 420))):
+        import subprocess
+        child_budget = max(min(time_left() - 180, 600), 120)
+        env = dict(os.environ,
+                   BENCH_POINTS=str(int(os.environ.get(
+                       "BENCH_DEEP_POINTS", 256_000_000))),
+                   BENCH_FILE="0", BENCH_STREAMFRAME="0", BENCH_OOC="0",
+                   BENCH_SHARDED="0", BENCH_DEEP="0", BENCH_POOLED="0",
+                   BENCH_4K="1", BENCH_NO_WATCHDOG="1",
+                   BENCH_GROUP="8",
+                   BENCH_DEADLINE=str(child_budget - 30))
+        log(f"deep phase: spawning 256M child (budget {child_budget:.0f}s)...")
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=child_budget)
+            for line in out.stderr.splitlines()[-25:]:
+                log(f"deep| {line}")
+            child = json.loads(out.stdout.strip().splitlines()[-1])
+            RESULT.update({"deep_points": child.get("points"),
+                           "deep_mps": child.get("value"),
+                           "render_ms_4k": child.get("render_ms_4k"),
+                           "deep_render_ms_1080p":
+                               child.get("render_ms_1080p")})
+        except Exception as e:   # deep failure must not lose the main line
+            log(f"deep phase failed: {e!r}")
+            RESULT["deep_error"] = str(e)[:200]
+
+    # =====================================================================
     # Phase 4: simultaneous streaming + orbit render (the property the
     # reference is NAMED for: renderCUDA() + updateOctree() alternating per
     # frame, main_progressive_octree.cpp:1176-1180). Reuses the file phase's
@@ -747,41 +778,6 @@ def main() -> int:
                 break
         del seng
         gc.collect()
-
-    # =====================================================================
-    # Phase 7: deep-scale phase (BASELINE config 4 shape): a 256M-point build
-    # + 4K render in a CHILD process (fresh HBM, no fragmentation from the
-    # phases above).
-    # =====================================================================
-    if os.environ.get("BENCH_DEEP", "1") == "1" and N_POINTS < 192_000_000 \
-            and phase_fits("deep", float(os.environ.get(
-                "BENCH_DEEP_NEED", 420))):
-        import subprocess
-        child_budget = max(time_left() - 60, 120)
-        env = dict(os.environ,
-                   BENCH_POINTS=str(int(os.environ.get(
-                       "BENCH_DEEP_POINTS", 256_000_000))),
-                   BENCH_FILE="0", BENCH_STREAMFRAME="0", BENCH_OOC="0",
-                   BENCH_SHARDED="0", BENCH_DEEP="0", BENCH_POOLED="0",
-                   BENCH_4K="1", BENCH_NO_WATCHDOG="1",
-                   BENCH_GROUP="8",
-                   BENCH_DEADLINE=str(child_budget - 30))
-        log(f"deep phase: spawning 256M child (budget {child_budget:.0f}s)...")
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=child_budget)
-            for line in out.stderr.splitlines()[-25:]:
-                log(f"deep| {line}")
-            child = json.loads(out.stdout.strip().splitlines()[-1])
-            RESULT.update({"deep_points": child.get("points"),
-                           "deep_mps": child.get("value"),
-                           "render_ms_4k": child.get("render_ms_4k"),
-                           "deep_render_ms_1080p":
-                               child.get("render_ms_1080p")})
-        except Exception as e:   # deep failure must not lose the main line
-            log(f"deep phase failed: {e!r}")
-            RESULT["deep_error"] = str(e)[:200]
 
     RESULT["bench_wall_s"] = round(time.perf_counter() - T_START, 1)
     _emit_and_exit(0)
