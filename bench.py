@@ -443,25 +443,46 @@ def main() -> int:
         RESULT["render_ms_1080p"] = round(render_ms, 2)
         RESULT["render_ms_1080p_dispatch"] = round(render_ms1, 2)
 
-    # exact-semantics reference frame (all samples, 3-key tiebreak)
-    us_e = [orbit_uniform(WIDTH, HEIGHT, 0.03 * i) for i in range(K_FRAMES)]
-    u = us_e[0]
-    nvp, nvv = probe_visible_counts(state, u)  # cheap: no raster compiled
-    pw = sample_window(int(nvp), 0, cfg.max_render_points)
-    vw = sample_window(int(nvv), 0, cfg.max_render_voxels)
-    nw = directory_window(int(state.num_nodes), cfg.node_capacity)
-    sw = directory_window(int(state.num_segments), cfg.segment_capacity)
-    render_ms_exact, fstats_e = timed_render(
-        lambda: render_frames(cfg, state, WIDTH, HEIGHT, stack_uniforms(us_e),
-                              pw, vw, nw, sw),
-        "exact+3key 1080p", n_frames=2, frames_per_call=K_FRAMES)
-    RESULT["render_ms_1080p_exact"] = round(render_ms_exact, 2)
-    if fstats is None:
-        fstats = fstats_e
-        RESULT["render_ms_1080p"] = round(render_ms_exact, 2)
+    # pooled 4K render in the MAIN process on the bench tree: BASELINE
+    # config 4's resolution was never recorded through round 4 (VERDICT r4
+    # item 5) because the 256M deep child rarely fits a driver budget — this
+    # always can (the pool already exists; ~100 s of compile + probes)
+    if USE_POOLED and os.environ.get("BENCH_4K_MAIN", "1") == "1" \
+            and phase_fits("render_4k", 110):
+        render_4k_ms, render_4k_ms1, _ = pooled_render_ms(
+            cfg_fast, 3840, 2160, "pooled+2key 4k")
+        RESULT["render_ms_4k"] = round(render_4k_ms, 2)
+        RESULT["render_ms_4k_dispatch"] = round(render_4k_ms1, 2)
+
+    # exact-semantics reference frame (all samples, 3-key u64 tiebreak).
+    # Its compile ALONE cost 204 s on the tunneled runtime (r5 log) for a
+    # non-headline number, so it must not starve the aux phases behind it:
+    # the guard reserves compile + the file/streamframe/ooc/sharded budget.
+    EXACT_NEED = float(os.environ.get(
+        "BENCH_EXACT_NEED", 700 if FILE_BENCH else 250))
+    if os.environ.get("BENCH_EXACT", "1") == "1" \
+            and phase_fits("render_exact", EXACT_NEED):
+        us_e = [orbit_uniform(WIDTH, HEIGHT, 0.03 * i) for i in range(K_FRAMES)]
+        u = us_e[0]
+        nvp, nvv = probe_visible_counts(state, u)  # cheap: no raster compiled
+        pw = sample_window(int(nvp), 0, cfg.max_render_points)
+        vw = sample_window(int(nvv), 0, cfg.max_render_voxels)
+        nw = directory_window(int(state.num_nodes), cfg.node_capacity)
+        sw = directory_window(int(state.num_segments), cfg.segment_capacity)
+        render_ms_exact, fstats_e = timed_render(
+            lambda: render_frames(cfg, state, WIDTH, HEIGHT,
+                                  stack_uniforms(us_e), pw, vw, nw, sw),
+            "exact+3key 1080p", n_frames=2, frames_per_call=K_FRAMES)
+        RESULT["render_ms_1080p_exact"] = round(render_ms_exact, 2)
+        if fstats is None:
+            fstats = fstats_e
+            RESULT["render_ms_1080p"] = round(render_ms_exact, 2)
 
     render_4k_ms = None
-    if N_POINTS >= 192_000_000 or os.environ.get("BENCH_4K"):
+    if (N_POINTS >= 192_000_000 or os.environ.get("BENCH_4K")) \
+            and "render_ms_4k" not in RESULT:
+        nw = directory_window(int(state.num_nodes), cfg.node_capacity)
+        sw = directory_window(int(state.num_segments), cfg.segment_capacity)
         if USE_POOLED:
             render_4k_ms, render_4k_ms1, _ = pooled_render_ms(
                 cfg_fast, 3840, 2160, "pooled+2key 4k")
@@ -478,8 +499,9 @@ def main() -> int:
                 "exact 4k", n_frames=2, frames_per_call=K_FRAMES)
         RESULT["render_ms_4k"] = round(render_4k_ms, 2)
 
-    RESULT["visible_points"] = int(fstats.num_visible_points)
-    RESULT["visible_voxels"] = int(fstats.num_visible_voxels)
+    if fstats is not None:
+        RESULT["visible_points"] = int(fstats.num_visible_points)
+        RESULT["visible_voxels"] = int(fstats.num_visible_voxels)
     del state, pool  # free the device-path state before the later phases allocate
     gc.collect()
 
@@ -532,7 +554,11 @@ def main() -> int:
         # LAZ ~30 / simlod up to 580 MP/s on a 4090 + 16-core host; this
         # host has ONE core, so decode-bound formats scale accordingly;
         # rep0 pays the format's scan-bucket compiles, rep1 is the number) ---
-        if phase_fits("file_formats", 180):
+        # reserve the streamframe/ooc/sharded budget behind this: LAS/LAZ
+        # rates were recorded in r3 and the codecs are unchanged, while the
+        # aux phases measure THIS round's load-path changes
+        if phase_fits("file_formats", float(os.environ.get(
+                "BENCH_FORMATS_NEED", 530))):
             from simlod_tpu.formats import las as las_fmt
             from simlod_tpu.formats import laz as laz_fmt
             n_las = int(os.environ.get("BENCH_LAS_POINTS",
@@ -577,9 +603,13 @@ def main() -> int:
     # phases above). Placed before the auxiliary phases: the 4K render of
     # config 4 had never been recorded through round 4 (VERDICT r4 item 5).
     # =====================================================================
+    # need defaults to the 256M child's realistic cost (its own warm-pass
+    # compile storm) PLUS the aux phases behind it, so a marginal budget
+    # prefers the never-recorded streamframe/ooc/sharded numbers over a
+    # deep child that would time out anyway (r4/r5 evidence)
     if os.environ.get("BENCH_DEEP", "1") == "1" and N_POINTS < 192_000_000 \
             and phase_fits("deep", float(os.environ.get(
-                "BENCH_DEEP_NEED", 420))):
+                "BENCH_DEEP_NEED", 1000))):
         import subprocess
         child_budget = max(min(time_left() - 180, 600), 120)
         env = dict(os.environ,
@@ -598,11 +628,13 @@ def main() -> int:
             for line in out.stderr.splitlines()[-25:]:
                 log(f"deep| {line}")
             child = json.loads(out.stdout.strip().splitlines()[-1])
-            RESULT.update({"deep_points": child.get("points"),
-                           "deep_mps": child.get("value"),
-                           "render_ms_4k": child.get("render_ms_4k"),
-                           "deep_render_ms_1080p":
-                               child.get("render_ms_1080p")})
+            for src, dst in (("points", "deep_points"), ("value", "deep_mps"),
+                             ("render_ms_4k", "deep_render_ms_4k"),
+                             ("render_ms_1080p", "deep_render_ms_1080p")):
+                if child.get(src) is not None:
+                    RESULT[dst] = child[src]
+            if child.get("render_ms_4k") is not None:
+                RESULT.setdefault("render_ms_4k", child["render_ms_4k"])
         except Exception as e:   # deep failure must not lose the main line
             log(f"deep phase failed: {e!r}")
             RESULT["deep_error"] = str(e)[:200]
